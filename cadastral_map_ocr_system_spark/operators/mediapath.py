@@ -1,0 +1,243 @@
+"""Media extraction path: the engine's OCR-analogue, as mapInArrow.
+
+Re-expresses the reference's per-image chain — binarize
+(OCR/src/comprehensive_detector.py:57-79), connected-component region
+segmentation with min-area filters (OCR/src/symbol_detector.py:144-167),
+token read-out (EasyOCR readtext at OCR/src/detect.py:254-261, replaced
+by a deterministic byte tokenizer per SURVEY.md §2.3 E4), confidence
+filter (detect.py:366-368), cleanup+classify (detect.py:419-502) — as a
+1->N Arrow batch transform: each input media span emits zero or more
+detection rows.
+
+Scale notes:
+  - runs inside ``mapInArrow`` (Arrow batches, never per-row Python UDF);
+  - the component labeling is run-length based (vectorized row-run
+    extraction + union-find over runs), not per-pixel Python;
+  - output is yielded in bounded chunks so a multi-region "map image"
+    document cannot materialize unbounded rows in one Python list
+    (SURVEY.md §7.4 hard part 3);
+  - payload resolution is a pure function of media_ref here (synthetic
+    corpus, FIXTURES.md §1); a real deployment swaps `_resolve_payload`
+    for a blob-store fetch — the surrounding plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import (
+    MIN_CONF,
+    py_clean_token,
+    py_is_valid_name,
+    py_is_valid_number,
+)
+from ..schema import DETECTIONS_ARROW
+from ..synth import BIN_THRESHOLD, FILL, MIN_AREA, decode_payload, media_payload
+
+OUTPUT_CHUNK_ROWS = 4096
+
+
+# ------------------------------------------------- component labeling
+def _row_runs(mask: np.ndarray):
+    """All horizontal runs of True: arrays (row, x_start, x_end_excl)."""
+    h, w = mask.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    sy, sx = np.nonzero(d == 1)
+    ey, ex = np.nonzero(d == -1)
+    # starts and ends come out in identical (row, x) order
+    return sy, sx, ex
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, a: int) -> int:
+        p = self.parent
+        while p[a] != a:
+            p[a] = p[p[a]]
+            a = p[a]
+        return a
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def extract_regions(grid: np.ndarray) -> list[dict]:
+    """Binarize -> 4-connected components -> min-area filter -> decode.
+
+    Returns regions sorted by (ymin, xmin), each with bbox, area,
+    center, and the decoded token (pixels whose value differs from the
+    region fill are token bytes). Components are pixel-disjoint by
+    construction, so no post-hoc overlap suppression is needed here
+    (NMS is exposed separately in operators/nms.py for overlapping
+    detector outputs).
+    """
+    mask = grid > BIN_THRESHOLD
+    sy, sx, ex = _row_runs(mask)
+    n = len(sy)
+    if n == 0:
+        return []
+    uf = _UnionFind(n)
+    # union runs on adjacent rows with column overlap (two-pointer scan;
+    # runs are sorted by (row, x))
+    row_starts: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sy[j] == sy[i]:
+            j += 1
+        row_starts[int(sy[i])] = (i, j)
+        i = j
+    for row, (i0, i1) in row_starts.items():
+        prev = row_starts.get(row - 1)
+        if not prev:
+            continue
+        p0, p1 = prev
+        a, b = i0, p0
+        while a < i1 and b < p1:
+            # overlap iff start < other_end and other_start < end
+            if sx[a] < ex[b] and sx[b] < ex[a]:
+                uf.union(a, b)
+            if ex[a] < ex[b]:
+                a += 1
+            else:
+                b += 1
+
+    comps: dict[int, dict] = {}
+    for r in range(n):
+        root = uf.find(r)
+        y, x0, x1 = int(sy[r]), int(sx[r]), int(ex[r])
+        c = comps.get(root)
+        if c is None:
+            comps[root] = {
+                "ymin": y, "ymax": y, "xmin": x0, "xmax": x1,
+                "area": x1 - x0, "runs": [(y, x0, x1)],
+            }
+        else:
+            c["ymin"] = min(c["ymin"], y)
+            c["ymax"] = max(c["ymax"], y)
+            c["xmin"] = min(c["xmin"], x0)
+            c["xmax"] = max(c["xmax"], x1)
+            c["area"] += x1 - x0
+            c["runs"].append((y, x0, x1))
+
+    regions = []
+    for c in comps.values():
+        if c["area"] < MIN_AREA:
+            continue  # min-area noise filter (symbol_detector.py:148,207)
+        token_bytes = []
+        for y, x0, x1 in sorted(c["runs"]):
+            vals = grid[y, x0:x1]
+            token_bytes.extend(int(v) for v in vals[vals != FILL])
+        token = "".join(chr(v) for v in token_bytes if 33 <= v <= 126)
+        h = c["ymax"] - c["ymin"] + 1
+        w = c["xmax"] - c["xmin"]
+        regions.append(
+            {
+                "ymin": c["ymin"], "xmin": c["xmin"], "h": h, "w": w,
+                "area": c["area"],
+                "cx": c["xmin"] + w / 2.0,
+                "cy": c["ymin"] + h / 2.0,
+                "token": token,
+            }
+        )
+    regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
+    return regions
+
+
+# ----------------------------------------------------- record emission
+def token_conf(media_ref: str, token: str) -> float:
+    """Deterministic stand-in for OCR confidence: pure fn of inputs."""
+    digest = hashlib.md5(f"{media_ref}|{token}".encode()).hexdigest()
+    return 0.2 + (int(digest[:8], 16) % 801) / 1000.0
+
+
+def _resolve_payload(media_ref: str) -> bytes:
+    """Synthetic corpus: payload bytes are a pure fn of media_ref.
+
+    A real deployment replaces this with a blob-store/object-store
+    fetch; everything downstream is unchanged.
+    """
+    return media_payload(media_ref)
+
+
+def extract_media_records(doc_id: str, offset: int, media_ref: str) -> list[dict]:
+    """One media span -> N classified detection records."""
+    grid = decode_payload(_resolve_payload(media_ref))
+    out = []
+    for region_idx, reg in enumerate(extract_regions(grid)):
+        token = reg["token"]
+        if len(token) < 1:
+            continue  # blob with no glyphs (detect.py:366-368 length gate)
+        conf = token_conf(media_ref, token)
+        if conf < MIN_CONF:
+            continue
+        clean = py_clean_token(token)
+        if py_is_valid_number(clean):
+            is_number = True
+        elif py_is_valid_name(clean):
+            is_number = False
+        else:
+            continue  # rejected by classify/noise rules
+        out.append(
+            {
+                "doc_id": doc_id,
+                "offset": offset,
+                "region_idx": region_idx,
+                "token_idx": 0,
+                "kind": "media",
+                "text": clean,
+                "media_ref": media_ref,
+                "conf": conf,
+                "cx": reg["cx"],
+                "cy": reg["cy"],
+                "is_number": is_number,
+            }
+        )
+    return out
+
+
+def media_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow body: (doc_id, offset, media_ref) -> DETECTIONS rows."""
+    buf: list[dict] = []
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        offsets = batch.column("offset").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        for doc_id, offset, ref in zip(doc_ids, offsets, refs):
+            buf.extend(extract_media_records(doc_id, offset, ref))
+            while len(buf) >= OUTPUT_CHUNK_ROWS:
+                yield pa.RecordBatch.from_pylist(
+                    buf[:OUTPUT_CHUNK_ROWS], schema=DETECTIONS_ARROW
+                )
+                buf = buf[OUTPUT_CHUNK_ROWS:]
+    if buf:
+        yield pa.RecordBatch.from_pylist(buf, schema=DETECTIONS_ARROW)
+
+
+def media_detections(media_spans_df):
+    """DataFrame stage: exploded media spans -> detection rows.
+
+    Input columns: doc_id, offset, media_ref. The caller is expected to
+    have repartitioned per-span (not per-doc) so a huge document's
+    spans spread across tasks (SURVEY.md §4.3 skew handling).
+    """
+    schema = (
+        "doc_id string, offset int, region_idx int, token_idx int, "
+        "kind string, text string, media_ref string, conf double, "
+        "cx double, cy double, is_number boolean"
+    )
+    return media_spans_df.select("doc_id", "offset", "media_ref").mapInArrow(
+        media_batches, schema=schema
+    )

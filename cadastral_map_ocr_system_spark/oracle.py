@@ -1,0 +1,172 @@
+"""Single-process reference oracle (SURVEY.md §5 step 1).
+
+An independent plain-Python implementation of the extraction
+semantics: simple BFS flood-fill component labeling (vs the pipeline's
+run-length union-find), straight loops for dedup and re-zip. It shares
+with the pipeline only the *fixture generator* (synth payloads) and
+the *rule constants / scalar rule mirrors* in functions.text — the
+dataflow itself is written twice, so the invariant test exercises the
+Spark orchestration and the vectorized kernels, not one shared code
+path.
+
+Golden invariant (BASELINE.json): for every doc_id the pipeline's span
+sequence (kind, text, media_ref, order) exactly equals this oracle's.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from .functions.geometry import DEDUP_MAX_DIST, DEDUP_NUM_DELTA, DEDUP_SIM_THRESHOLD
+from .functions.similarity import jaccard_charset
+from .functions.text import (
+    MIN_CONF,
+    py_clean_token,
+    py_is_valid_name,
+    py_is_valid_number,
+    py_strip_boilerplate,
+)
+from .operators.mediapath import token_conf
+from .synth import BIN_THRESHOLD, FILL, MIN_AREA, decode_payload, media_payload
+
+
+def _flood_regions(grid) -> list[dict]:
+    """BFS 4-connected components over grid > threshold."""
+    h, w = grid.shape
+    seen = [[False] * w for _ in range(h)]
+    regions = []
+    for y0 in range(h):
+        for x0 in range(w):
+            if grid[y0][x0] <= BIN_THRESHOLD or seen[y0][x0]:
+                continue
+            q = deque([(y0, x0)])
+            seen[y0][x0] = True
+            pixels = []
+            while q:
+                y, x = q.popleft()
+                pixels.append((y, x))
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny][nx] and grid[ny][nx] > BIN_THRESHOLD:
+                        seen[ny][nx] = True
+                        q.append((ny, nx))
+            if len(pixels) < MIN_AREA:
+                continue
+            ys = [p[0] for p in pixels]
+            xs = [p[1] for p in pixels]
+            ymin, ymax, xmin, xmax = min(ys), max(ys), min(xs), max(xs)
+            token_chars = [
+                chr(grid[y][x])
+                for (y, x) in sorted(pixels)
+                if grid[y][x] != FILL and 33 <= grid[y][x] <= 126
+            ]
+            # bbox width convention matches the run-based labeler:
+            # runs are [x_start, x_end_exclusive), so w = xmax+1-xmin
+            rw = xmax + 1 - xmin
+            rh = ymax - ymin + 1
+            regions.append(
+                {
+                    "ymin": ymin,
+                    "xmin": xmin,
+                    "cx": xmin + rw / 2.0,
+                    "cy": ymin + rh / 2.0,
+                    "token": "".join(token_chars),
+                }
+            )
+    regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
+    return regions
+
+
+def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:
+    grid = decode_payload(media_payload(ref)).astype(int)
+    out = []
+    for region_idx, reg in enumerate(_flood_regions(grid)):
+        token = reg["token"]
+        if len(token) < 1:
+            continue
+        conf = token_conf(ref, token)
+        if conf < MIN_CONF:
+            continue
+        clean = py_clean_token(token)
+        if py_is_valid_number(clean):
+            is_number = True
+        elif py_is_valid_name(clean):
+            is_number = False
+        else:
+            continue
+        out.append(
+            {
+                "offset": offset,
+                "region_idx": region_idx,
+                "token_idx": 0,
+                "kind": "media",
+                "text": clean,
+                "media_ref": ref,
+                "conf": conf,
+                "cx": reg["cx"],
+                "cy": reg["cy"],
+                "is_number": is_number,
+            }
+        )
+    return out
+
+
+def _dedup(rows: list[dict]) -> list[dict]:
+    rows = sorted(
+        rows,
+        key=lambda r: (-r["conf"], r["offset"], r["region_idx"], r["token_idx"]),
+    )
+    kept: list[dict] = []
+    for r in rows:
+        dup = False
+        for k in kept:
+            if k["offset"] != r["offset"] or k["is_number"] != r["is_number"]:
+                continue
+            dx, dy = r["cx"] - k["cx"], r["cy"] - k["cy"]
+            if dx * dx + dy * dy >= DEDUP_MAX_DIST * DEDUP_MAX_DIST:
+                continue
+            if r["is_number"]:
+                if abs(int(r["text"]) - int(k["text"])) <= DEDUP_NUM_DELTA:
+                    dup = True
+                    break
+            else:
+                if jaccard_charset(r["text"], k["text"]) > DEDUP_SIM_THRESHOLD:
+                    dup = True
+                    break
+        if not dup:
+            kept.append(r)
+    return kept
+
+
+def extract_doc(doc: dict) -> list[tuple]:
+    """One document -> golden span sequence [(kind, text, media_ref, order)]."""
+    text_rows: list[dict] = []
+    media_rows: list[dict] = []
+    for span in doc["spans"]:
+        if span["kind"] == "text":
+            cleaned = py_strip_boilerplate(span["text"])
+            if len(cleaned) > 0:
+                text_rows.append(
+                    {
+                        "offset": span["offset"],
+                        "region_idx": 0,
+                        "token_idx": 0,
+                        "kind": "text",
+                        "text": cleaned,
+                        "media_ref": None,
+                    }
+                )
+        else:
+            media_rows.extend(
+                _media_records(doc["doc_id"], span["offset"], span["media_ref"])
+            )
+    rows = text_rows + _dedup(media_rows)
+    rows.sort(key=lambda r: (r["offset"], r["region_idx"], r["token_idx"]))
+    return [
+        (r["kind"], r["text"], r["media_ref"], order)
+        for order, r in enumerate(rows)
+    ]
+
+
+def extract_corpus(docs: list[dict]) -> dict[str, list[tuple]]:
+    """Golden output for every document (including empty ones)."""
+    return {doc["doc_id"]: extract_doc(doc) for doc in docs}

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path buckets
+vectors by a sign-pattern LSH key so the join is bucket-local (each
+vector only compares within its bucket — the IVF/LSH trade: recall for
+a ~2^b reduction in comparisons).
+
+Dot products run as sequential left-fold aggregates in double
+precision (F.aggregate over zip_with), which is deterministic and
+reproducible bit-for-bit by the SQL oracle — no UDF, no shuffle-order
+dependence. At cluster scale the same plan applies; the brute-force
+variant broadcasts the (small) query set, the bucketed variant is a
+co-partitioned equi-join on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: the first n_queries vec_ids (by id) probe the
+    whole corpus. Query side is broadcast — never a shuffle of the big
+    side."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
+    """LSH bucket key: sign pattern of the first n_dims components."""
+    signs = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_dims)
+    ]
+    return F.concat(*signs)
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_dims: int = 8
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's sign bucket."""
+    with_bucket = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), n_dims).alias("bucket")
+    )
+    queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = with_bucket.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95, n_dims: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucket-local self-join."""
+    with_bucket = emb.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), n_dims).alias("bucket")
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting, and document
+fingerprinting — all pure built-in column expressions (JVM-side,
+whole-stage codegen; no Python in the hot path). These generalize the
+reference's text-vs-noise scoring (confidence/length gates at
+OCR/src/detect.py:366-368, keyword classifier at
+OCR/src/comprehensive_detector.py:127-142) to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fixed stopword list for the heuristic scorers (ASCII, lowercase).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds a `tokens` array column (whitespace tokenization)."""
+    return df.withColumn(
+        "tokens", F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    )
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Per-document token/char counts (BPE-ish subword estimate included:
+    ceil(chars/4) mirrors the common ~4-chars-per-token rule)."""
+    t = with_tokens(df)
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Heuristic quality features per document.
+
+    stopword_ratio: fraction of tokens in STOPWORDS;
+    avg_token_len:  mean token length;
+    alpha_ratio:    fraction of chars that are letters or spaces.
+    All rounded to 6 dp so results are comparable across engines.
+    """
+    t = with_tokens(df)
+    n_tokens = F.size("tokens")
+    n_stop = F.size(F.filter("tokens", lambda x: x.isin(STOPWORDS)))
+    token_chars = F.aggregate(
+        F.transform("tokens", F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", ""))
+    return t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(token_chars / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(alpha_chars / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "alpha_ratio"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """N-gram-free stopword-hit language heuristic: predict 'en' when the
+    stopword ratio clears the threshold."""
+    q = quality_scores(df)
+    return q.select(
+        "doc_id",
+        F.when(F.col("stopword_ratio") >= threshold, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Stable content fingerprint: md5 of the whitespace-normalized,
+    lowercased text (md5 so any engine reproduces it bit-for-bit)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE, " ")
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,620 @@
+"""Query registry: every claimed operator as a (Spark fn, oracle SQL) pair.
+
+Each entry's Spark callable takes (spark, sf_dir) and returns a
+DataFrame; the paired SQL string is the ANSI-SQL equivalent DuckDB runs
+on the same parquet tables. Column names and value representations are
+pinned on both sides (md5-based hashing, decimal arithmetic for money
+sums, explicit rounding for floats, deterministic tie-breaks) so the
+driver's order-insensitive value-hash comparison is exact.
+
+Entries with sql=None are genuinely non-SQL-expressible (greedy
+stateful dedup, the full extraction pipeline) and get the weaker
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import NAME_HAS_LETTER_RE, NOISE_RE, NUMBER_RE
+from ..operators import ann, corpus_dedup, textstats
+from ..sources.tables import load
+
+STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
+
+
+# --------------------------------------------------------------------- TPC-H-ish
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/A2 aggregate family: filtered scan -> groupBy -> sums/avgs.
+
+    Money sums run in DECIMAL so they are exact and order-independent
+    (a 100 TB sum of doubles is not reproducible; decimal is)."""
+    li = load(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum("l_quantity") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       round(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Join family J: fact x dims with broadcast on the small sides."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(price * disc), 2).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Window/ranking family W6: row_number with a pinned tie-break."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank, round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 3
+"""
+
+
+def q_quantity_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: exact percentiles (interpolated), per group."""
+    li = load(spark, sf, "lineitem")
+    pct = F.percentile("l_quantity", F.lit([0.1, 0.5, 0.9]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p10"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p90"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.1), 6) AS p10,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_event_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: binned aggregation over the events stream table."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 10).cast("long").alias("bin"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(floor(value / 10) AS BIGINT) AS bin, event_type,
+       COUNT(*) AS n, round(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured field parse over events.props (regex-portable)."""
+    ev = load(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join (the checkpoint-resume primitive, SURVEY.md §2.4)."""
+    cust = load(spark, sf, "customer")
+    urgent = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_parts_in_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join."""
+    part = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    return (
+        part.filter(F.col("p_size") > 40)
+        .join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size > 40
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_repeat_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-op family O4: INTERSECT of two filtered projections."""
+    orders = load(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.intersect(b)
+
+
+SQL_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def q_cube_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets family: CUBE over two dims (A1+A2 in one pass)."""
+    li = load(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 describe/profile aggregate."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Event sessionization: lag window + 30-min gap rule (ms-exact)."""
+    ev = load(spark, sf, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT user_id,
+       SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ----------------------------------------------------------- text analysis
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.token_counts(load(spark, sf, "documents"))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       CAST(ceil(length(text) / 4) AS BIGINT) AS n_subwords_est
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.quality_scores(load(spark, sf, "documents"))
+
+
+SQL_QUALITY = rf"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS tokens FROM documents)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       round(len(list_filter(tokens, x -> list_contains({STOP_SQL}, x))) / greatest(len(tokens), 1), 6) AS stopword_ratio,
+       round(list_sum(list_transform(tokens, x -> length(x))) / greatest(len(tokens), 1), 6) AS avg_token_len,
+       round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) / greatest(length(text), 1), 6) AS alpha_ratio
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    pred = textstats.lang_id(docs)
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_LANG_ID = rf"""
+WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS tokens FROM documents),
+p AS (SELECT doc_id, lang,
+             CASE WHEN len(list_filter(tokens, x -> list_contains({STOP_SQL}, x))) / greatest(len(tokens), 1) >= 0.05
+                  THEN 'en' ELSE 'other' END AS lang_pred
+      FROM t)
+SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
+"""
+
+
+def q_field_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2/F4/F5 field classification over document tokens."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    cls = (
+        F.when(
+            F.col("tok").rlike(NUMBER_RE)
+            & F.col("tok").try_cast("int").between(1, 9999),
+            F.lit("number"),
+        )
+        .when(
+            F.col("tok").rlike(NAME_HAS_LETTER_RE)
+            & F.length("tok").between(2, 50)
+            & ~F.col("tok").rlike(NOISE_RE),
+            F.lit("name"),
+        )
+        .otherwise(F.lit("reject"))
+    )
+    return toks.groupBy(cls.alias("token_class")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("tok").cast("long").alias("n_distinct"),
+    )
+
+
+SQL_FIELD_CLASSIFY = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+SELECT CASE
+         WHEN regexp_matches(tok, '{NUMBER_RE}') AND TRY_CAST(tok AS INT) BETWEEN 1 AND 9999 THEN 'number'
+         WHEN regexp_matches(tok, '{NAME_HAS_LETTER_RE}') AND length(tok) BETWEEN 2 AND 50
+              AND NOT regexp_matches(tok, '{NOISE_RE}') THEN 'name'
+         ELSE 'reject'
+       END AS token_class,
+       COUNT(*) AS n, COUNT(DISTINCT tok) AS n_distinct
+FROM toks GROUP BY 1
+"""
+
+
+def q_parse_plot_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 survey/plot-number predicate over stringified keys."""
+    orders = load(spark, sf, "orders")
+    s = F.col("o_orderkey").cast("string")
+    return (
+        orders.filter(s.rlike(NUMBER_RE) & s.cast("int").between(1, 9999))
+        .select(s.cast("int").alias("plot_id"))
+        .distinct()
+    )
+
+
+SQL_PLOT_IDS = f"""
+SELECT DISTINCT CAST(CAST(o_orderkey AS VARCHAR) AS INT) AS plot_id
+FROM orders
+WHERE regexp_matches(CAST(o_orderkey AS VARCHAR), '{NUMBER_RE}')
+  AND CAST(o_orderkey AS INT) BETWEEN 1 AND 9999
+"""
+
+
+# ------------------------------------------------------------------ dedup
+def q_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_dedup.exact_dup_groups(load(spark, sf, "documents"))
+
+
+SQL_EXACT_DUP = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS representative, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+_SH_CTE = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE shingle IS NOT NULL)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), k=3, threshold=0.05
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.05
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_dedup.lsh_candidate_pairs(
+        load(spark, sf, "documents"), n_hashes=16, bands=4, k=3
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SH_CTE},
+minh AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM minh GROUP BY doc_id, seed // 4)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprints (rows-only check: 32-bit integer bit
+    arithmetic is not portably expressible in the oracle dialect)."""
+    return corpus_dedup.simhash(load(spark, sf, "documents"), bits=32)
+
+
+# --------------------------------------------------------------- similarity
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT_SQL.format(a=a, b=b)} / "
+        f"sqrt({_DOT_SQL.format(a=a, b=a)} * {_DOT_SQL.format(a=b, b=b)}), 6)"
+    )
+
+
+def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.brute_force_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+
+
+SQL_ANN_BRUTE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qe', 'embedding')} AS cos_sim
+  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.lsh_bucketed_topk(
+        load(spark, sf, "embeddings"), n_queries=10, k=5, n_dims=8
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qe', 'embedding')} AS cos_sim
+  FROM e JOIN q ON bucket = qbucket AND vec_id <> query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return ann.embedding_near_dups(
+        load(spark, sf, "embeddings"), threshold=0.2, n_dims=8
+    )
+
+
+SQL_EMB_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.2
+"""
+
+
+# -------------------------------------------------------- extraction (rows-only)
+def q_extract_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship extraction pipeline over the synthetic interleaved
+    corpus (rows-only: the mapInArrow media path and greedy stateful
+    dedup are not SQL-expressible; pytest checks it against the
+    independent oracle)."""
+    from .. import synth
+    from .pipeline import extract
+
+    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    out = extract(docs)
+    return out.select(
+        "doc_id",
+        F.size("spans").cast("int").alias("n_spans"),
+        F.to_json("spans").alias("spans_json"),
+    )
+
+
+def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """W1-W3 greedy dedup on media detections (rows-only: order-dependent
+    greedy loop; pytest unit-checks semantics)."""
+    from .. import synth
+    from ..operators.dedup import dedup_detections
+    from ..operators.mediapath import media_detections
+    from .pipeline import explode_spans
+
+    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    media = explode_spans(docs).filter(F.col("kind") == "media")
+    return dedup_detections(media_detections(media)).select(
+        "doc_id", "offset", "region_idx", "text", F.round("conf", 6).alias("conf")
+    )
+
+
+# ------------------------------------------------------------------ registry
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS),
+    "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
+    "event_histogram": (q_event_histogram, SQL_HISTOGRAM),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "customers_without_orders": (q_customers_without_orders, SQL_ANTI_JOIN),
+    "parts_in_lineitem": (q_parts_in_lineitem, SQL_SEMI_JOIN),
+    "repeat_customers": (q_repeat_customers, SQL_INTERSECT),
+    "cube_returns": (q_cube_returns, SQL_CUBE),
+    "stats_profile": (q_stats_profile, SQL_STATS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "field_classify": (q_field_classify, SQL_FIELD_CLASSIFY),
+    "parse_plot_ids": (q_parse_plot_ids, SQL_PLOT_IDS),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "simhash": (q_simhash, None),
+    "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
+    "extract_pipeline": (q_extract_pipeline, None),
+    "greedy_dedup": (q_greedy_dedup, None),
+}

@@ -1,0 +1,123 @@
+"""Scaling-efficiency evidence for the north_rule (N vs 4N).
+
+No real cluster exists in this sandbox, so the same extraction job
+runs at two local parallelism levels — local[N] and local[4N]
+(default N=4; the host throttles ~20% at full 32-core saturation, so
+N=4/4N=16 measures the engine rather than host steal) — over the identical pre-generated parquet corpus; we report
+docs/sec at both and efficiency = (T_N / T_4N) / 4.
+
+Each level runs in its own subprocess (a SparkSession's master is
+fixed per JVM). The corpus is generated once, outside the timed
+region; the timed region is scan -> extract -> noop sink.
+
+Usage: python BENCH/scaling.py [n_docs]   (default 24000)
+Writes BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = "/tmp/scaling_docs_parquet"
+N_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+
+RUN_TEMPLATE = r"""
+import json, time, sys
+sys.path.insert(0, {repo!r})
+from cadastral_map_ocr_system_spark.session import get_spark
+from cadastral_map_ocr_system_spark.plans.pipeline import extract
+
+spark = get_spark(master="local[{cores}]", app_name="scaling-{cores}")
+docs = spark.read.parquet({corpus!r})
+# warmup: JIT/codegen/python-worker spin-up excluded from the timing
+extract(docs.sample(0.15, seed=1)).write.format("noop").mode("overwrite").save()
+t0 = time.perf_counter()
+extract(docs).write.format("noop").mode("overwrite").save()
+wall = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cores": {cores}, "wall_sec": round(wall, 3)}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int) -> dict:
+    code = RUN_TEMPLATE.format(repo=REPO, cores=cores, corpus=CORPUS)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        cwd=REPO,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    sys.path.insert(0, REPO)
+    marker = os.path.join(CORPUS, f"_N_{n_docs}")
+    if not (os.path.exists(os.path.join(CORPUS, "_SUCCESS")) and os.path.exists(marker)):
+        from cadastral_map_ocr_system_spark.session import get_spark
+        from cadastral_map_ocr_system_spark import synth
+
+        spark = get_spark(master="local[32]", app_name="scaling-gen")
+        synth.synth_docs_df(spark, n_docs, seed=42, skew_frac=0.01).write.mode(
+            "overwrite"
+        ).parquet(CORPUS)
+        spark.stop()
+        open(marker, "w").close()
+
+    # the sandbox host has bursty interference: alternate trials and
+    # take the per-level minimum (least-disturbed sample of each)
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    lo_walls, hi_walls = [], []
+    for _ in range(trials):
+        lo_walls.append(run_level(N_CORES)["wall_sec"])
+        hi_walls.append(run_level(N_CORES * 4)["wall_sec"])
+    lo = {"wall_sec": min(lo_walls)}
+    hi = {"wall_sec": min(hi_walls)}
+    eff = (lo["wall_sec"] / hi["wall_sec"]) / 4
+    summary = {
+        "n_docs": n_docs,
+        "n_cores": N_CORES,
+        "local_n_wall_sec": lo["wall_sec"],
+        "local_n_docs_per_sec": round(n_docs / lo["wall_sec"], 1),
+        "local_4n_wall_sec": hi["wall_sec"],
+        "local_4n_docs_per_sec": round(n_docs / hi["wall_sec"], 1),
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH/BASELINE — extraction throughput + N->4N scaling
+
+Same job (scan parquet docs -> extract -> noop sink), same input
+({n_docs} synthetic interleaved documents, seed 42, 1% skew docs),
+two parallelism levels in separate JVMs. Warmup pass excluded from
+the timed region.
+
+| level | wall (s) | docs/sec |
+|---|---|---|
+| local[{N_CORES}]  (N)  | {lo["wall_sec"]} | {summary["local_n_docs_per_sec"]} |
+| local[{N_CORES * 4}] (4N) | {hi["wall_sec"]} | {summary["local_4n_docs_per_sec"]} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {summary["scaling_efficiency_n_to_4n"]}**
+(north_rule target: >= 0.8)
+
+Reference single-node baseline (BASELINE.md): ~0.33 docs/s/thread for
+the feature-extraction pass, ~1/45 docs/s end-to-end CPU. This engine
+processes smaller synthetic documents, so absolute docs/sec is not
+directly comparable; the scaling efficiency and the per-core
+throughput profile are the portable numbers.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

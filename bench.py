@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is forced to full materialization with the noop sink (a
+count() would let Spark skip projections via parquet row-group
+stats). The extraction pipeline is benchmarked over a deterministic
+synthetic interleaved corpus (EXTRACT_DOCS documents) and reported
+both as seconds and docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "12000"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "quantity_percentiles",
+    "event_histogram",
+    "customers_without_orders",
+    "cube_returns",
+    "sessionize",
+    "token_counts",
+    "quality_scores",
+    "field_classify",
+    "exact_dup_groups",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "ann_brute_force",
+    "ann_lsh",
+    "embedding_near_dups",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from cadastral_map_ocr_system_spark import synth
+    from cadastral_map_ocr_system_spark.plans.pipeline import extract
+    from cadastral_map_ocr_system_spark.plans.queries import REGISTRY
+    from cadastral_map_ocr_system_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # extraction throughput: generate once to parquet, then time the
+    # pipeline alone (scan -> extract -> noop)
+    corpus_path = "/tmp/bench_docs_parquet"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synth.synth_docs_df(spark, EXTRACT_DOCS, seed=42, skew_frac=0.01).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.perf_counter()
+    materialize(extract(docs))
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "extract_docs": EXTRACT_DOCS,
+        "extract_docs_per_sec": round(EXTRACT_DOCS / extract_sec, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,24 +60,24 @@ def exact_dedup_survivors(df: DataFrame) -> DataFrame:
 def shingle_rows(df: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per document.
 
-    Built with posexplode + lead windows so the identical construction
-    is expressible in ANSI SQL for the cross-engine oracle.
+    Built narrowly (array transform per row — no window, no shuffle,
+    no per-doc sort): at corpus scale a window-based shingle pass would
+    shuffle every token; this shuffles nothing. The distinct() is the
+    only wide op and it feeds the downstream groupBy anyway.
     """
-    toks = df.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)).alias(
-            "pos", "tok"
+    toks = F.split(F.trim(F.lower("text")), TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
         ),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    shingle = F.concat_ws(" ", *parts)
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        toks.select("doc_id", shingle.alias("shingle"), *[
-            F.lead("tok", k - 1).over(w).alias("_last")
-        ])
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
+        df.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
         .distinct()
     )
 
@@ -153,6 +153,8 @@ def lsh_candidate_pairs(
             ).alias("band_hash")
         )
     )
+    # self-join: persist so the signature pipeline runs once, not twice
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -223,7 +225,7 @@ def simhash_near_pairs(df: DataFrame, bits: int = 32, max_hamming: int = 3) -> D
     ).alias("c")
     blocked = sig.select("doc_id", "simhash", chunks).select(
         "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.chunk_val").alias("chunk_val")
-    )
+    ).persist()
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (

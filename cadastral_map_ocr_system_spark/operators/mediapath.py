@@ -172,7 +172,52 @@ def _resolve_payload(media_ref: str) -> bytes:
     return media_payload(media_ref)
 
 
-def extract_media_records(doc_id: str, offset: int, media_ref: str) -> list[dict]:
+def greedy_dedup_payload(records: list[dict]) -> list[dict]:
+    """Greedy within-payload dedup, reference semantics (detect.py:384-417
+    names via Jaccard char-set, 538-575 numbers via value+spatial).
+
+    Runs inside the Arrow batch before rows leave the UDF (SURVEY.md
+    §2.6 W4) — the dedup rule only compares detections of the same
+    payload, so doing it here removes a corpus-wide shuffle + grouped
+    Python stage from the pipeline. operators/dedup.py exposes the same
+    semantics as a grouped-map for cross-span use; applying it after
+    this is a no-op.
+    """
+    from ..functions.geometry import (
+        DEDUP_MAX_DIST,
+        DEDUP_NUM_DELTA,
+        DEDUP_SIM_THRESHOLD,
+    )
+    from ..functions.similarity import jaccard_charset
+
+    ordered = sorted(
+        records, key=lambda r: (-r["conf"], r["region_idx"], r["token_idx"])
+    )
+    kept: list[dict] = []
+    for r in ordered:
+        dup = False
+        for k in kept:
+            if k["is_number"] != r["is_number"]:
+                continue
+            dx, dy = r["cx"] - k["cx"], r["cy"] - k["cy"]
+            if dx * dx + dy * dy >= DEDUP_MAX_DIST * DEDUP_MAX_DIST:
+                continue
+            if r["is_number"]:
+                if abs(int(r["text"]) - int(k["text"])) <= DEDUP_NUM_DELTA:
+                    dup = True
+                    break
+            elif jaccard_charset(r["text"], k["text"]) > DEDUP_SIM_THRESHOLD:
+                dup = True
+                break
+        if not dup:
+            kept.append(r)
+    kept.sort(key=lambda r: (r["region_idx"], r["token_idx"]))
+    return kept
+
+
+def extract_media_records(
+    doc_id: str, offset: int, media_ref: str, dedup: bool = True
+) -> list[dict]:
     """One media span -> N classified detection records."""
     grid = decode_payload(_resolve_payload(media_ref))
     out = []
@@ -205,7 +250,7 @@ def extract_media_records(doc_id: str, offset: int, media_ref: str) -> list[dict
                 "is_number": is_number,
             }
         )
-    return out
+    return greedy_dedup_payload(out) if dedup else out
 
 
 def media_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_detections
 from ..operators.mediapath import media_detections
 from ..operators.rezip import rezip
 from ..operators.textpath import text_detections
@@ -36,21 +35,31 @@ def explode_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract(docs: DataFrame, spread_media: bool = True) -> DataFrame:
-    """Full pipeline: docs -> extracted(doc_id, spans)."""
+def extract(docs: DataFrame, spread_spans: bool = True) -> DataFrame:
+    """Full pipeline: docs -> extracted(doc_id, spans).
+
+    spread_spans: repartition exploded spans on (doc_id, offset) before
+    the per-span work. This is the skew/salting stage (SURVEY.md §4.3):
+    it spreads a 10k-span document across tasks instead of pinning one,
+    and it decouples processing parallelism from input-split count
+    (a handful of small parquet files would otherwise serialize the
+    whole per-span stage on a few cores). Dedup/re-zip re-group on the
+    unsalted doc_id afterwards. Disable only when the scan itself is
+    already well-partitioned and skew-free.
+    """
     spans = explode_spans(docs)
-
-    text_rows = text_detections(spans.filter(F.col("kind") == "text"))
-
-    media_spans = spans.filter(F.col("kind") == "media")
-    if spread_media:
-        # skew handling: key the expensive stateless stage per-span, not
-        # per-doc, so a 10k-span document doesn't pin one task
-        # (SURVEY.md §4.3); dedup later re-groups on unsalted doc_id.
+    if spread_spans:
         spark = docs.sparkSession
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        media_spans = media_spans.repartition(n, "doc_id", "offset")
-    media_rows = dedup_detections(media_detections(media_spans))
+        spans = spans.repartition(n, "doc_id", "offset")
+
+    text_rows = text_detections(spans.filter(F.col("kind") == "text"))
+    # per-payload greedy dedup happens inside the media batch fn
+    # (mediapath.greedy_dedup_payload): the dedup rule only relates
+    # detections of one payload, so no grouped shuffle is needed.
+    # operators/dedup.dedup_detections remains the grouped-map form for
+    # cross-span dedup policies.
+    media_rows = media_detections(spans.filter(F.col("kind") == "media"))
 
     detections = text_rows.unionByName(media_rows)
     return rezip(detections, doc_ids_df=docs.select("doc_id"))

@@ -40,6 +40,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Python-dense stages (mapInArrow/applyInPandas) cost far more
+        # CPU per byte than AQE's size heuristics assume: keep
+        # post-shuffle partitions small enough that all cores stay busy
+        # (SURVEY.md §4.3b), and split small parquet inputs so the scan
+        # side parallelizes instead of packing into one task.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")

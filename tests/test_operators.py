@@ -1,0 +1,108 @@
+"""Spark-level operator tests: NMS grouped map, multimodal plumbing,
+streaming wrapper, corpus dedup ops on a hand-made corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cadastral_map_ocr_system_spark.operators import corpus_dedup, multimodal, textstats
+from cadastral_map_ocr_system_spark.operators.nms import nms_boxes
+
+
+def test_nms_boxes_grouped(spark):
+    rows = [
+        # doc1/off0: two heavy overlaps, keep higher conf
+        ("d1", 0, 0.0, 0.0, 10.0, 10.0, 0.9),
+        ("d1", 0, 1.0, 1.0, 10.0, 10.0, 0.8),   # iou ~0.68 -> dropped
+        ("d1", 0, 30.0, 30.0, 5.0, 5.0, 0.5),   # disjoint -> kept
+        # d1/off1: same coords, separate group -> kept
+        ("d1", 1, 1.0, 1.0, 10.0, 10.0, 0.1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, offset int, x double, y double, w double, h double, conf double"
+    )
+    out = nms_boxes(df).collect()
+    kept = sorted((r["doc_id"], r["offset"], r["conf"]) for r in out)
+    assert kept == [("d1", 0, 0.5), ("d1", 0, 0.9), ("d1", 1, 0.1)]
+
+
+def test_multimodal_metadata_and_frames(spark):
+    payload = bytes(range(256)) * 4  # 1024 bytes -> 32x32 fake image
+    df = spark.createDataFrame(
+        [("m1", "image", bytearray(payload)), ("m2", "other", bytearray(b"xyz"))],
+        "ref string, media_type string, payload binary",
+    )
+    meta = {r["ref"]: r for r in multimodal.media_metadata(df).collect()}
+    assert meta["m1"]["width"] == 32 and meta["m1"]["height"] == 32
+    assert meta["m1"]["n_bytes"] == 1024
+    assert meta["m2"]["width"] is None
+    frames = multimodal.frame_sample_features(
+        df.filter(F.col("media_type") == "image")
+    ).collect()
+    assert len(frames) == 2  # 32 rows / 16 per band
+    assert all(f["mean_intensity"] > 0 for f in frames)
+
+
+def test_exact_dedup_survivors(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other words")],
+        "doc_id long, text string",
+    )
+    surv = sorted(r["doc_id"] for r in corpus_dedup.exact_dedup_survivors(df).collect())
+    assert surv == [1, 3]  # whitespace-normalized dup collapses to min id
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base + "lambda mu"
+    far = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in corpus_dedup.lsh_candidate_pairs(df, n_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    near = base.replace("kappa", "kappa", 1) + " lambda"
+    far = "completely different vocabulary with other tokens entirely " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in corpus_dedup.simhash_near_pairs(df, bits=32, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_lang_id_flags_stopword_text(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog"), (2, "wort katze hund baum haus")],
+        "doc_id long, text string",
+    )
+    pred = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
+    assert pred == {1: "en", 2: "other"}
+
+
+def test_streaming_wrapper(spark, tmp_path):
+    from cadastral_map_ocr_system_spark import synth
+    from cadastral_map_ocr_system_spark.schema import DOCS
+    from cadastral_map_ocr_system_spark.streaming import stream_extract
+
+    docs_py = synth.synth_docs_pylist(20, seed=11)
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(docs_py, schema=DOCS).write.parquet(inp)
+    q = stream_extract(
+        spark, inp, str(tmp_path / "out"), str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 20

@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY.md §5 step 7) over the scalar rule
+layer and kernels — hypothesis-driven, no Spark session needed."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cadastral_map_ocr_system_spark.functions import text as T
+from cadastral_map_ocr_system_spark.functions.similarity import jaccard_charset
+from cadastral_map_ocr_system_spark.operators.mediapath import extract_regions
+from cadastral_map_ocr_system_spark.operators.nms import py_nms
+from cadastral_map_ocr_system_spark.synth import decode_payload, media_payload
+
+printable = st.text(alphabet=string.printable, max_size=200)
+ascii_word = st.text(
+    alphabet=string.ascii_letters + string.digits + " .-", max_size=60
+)
+
+
+@given(ascii_word)
+@settings(max_examples=300)
+def test_clean_idempotent(s):
+    once = T.py_clean_token(s)
+    assert T.py_clean_token(once) == once
+
+
+@given(printable)
+@settings(max_examples=300)
+def test_strip_boilerplate_idempotent_on_clean_output(s):
+    once = T.py_strip_boilerplate(s)
+    # output of the strip is tag-free single-line content; stripping
+    # again never removes more
+    assert T.py_strip_boilerplate(once) == once
+
+
+@given(printable, printable)
+@settings(max_examples=200)
+def test_jaccard_symmetric_bounded(a, b):
+    s = jaccard_charset(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == jaccard_charset(b, a)
+
+
+@given(st.text(alphabet=string.digits, min_size=1, max_size=6))
+def test_number_predicate_matches_int_range(s):
+    want = s.isdigit() and len(s) <= 4 and 1 <= int(s) <= 9999
+    assert T.py_is_valid_number(s) == want
+
+
+@given(st.integers(0, 10_000_000), st.integers(0, 63))
+def test_payload_roundtrip_and_region_decode(doc, off):
+    """Every synthesized payload decodes; every extracted region token
+    is printable ASCII; centers lie inside the canvas."""
+    ref = f"media://doc-{doc:012d}/{off}"
+    grid = decode_payload(media_payload(ref))
+    for reg in extract_regions(grid):
+        assert all(33 <= ord(c) <= 126 for c in reg["token"])
+        assert 0 <= reg["cx"] <= grid.shape[1]
+        assert 0 <= reg["cy"] <= grid.shape[0]
+        assert reg["area"] >= 50
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50), st.integers(0, 50),
+            st.integers(1, 20), st.integers(1, 20),
+            st.floats(0.0, 1.0, allow_nan=False),
+        ),
+        max_size=12,
+    )
+)
+def test_nms_keeps_subset_and_is_stable(items):
+    boxes = [(x, y, w, h) for x, y, w, h, _ in items]
+    confs = [c for *_, c in items]
+    kept = py_nms(boxes, confs)
+    assert set(kept) <= set(range(len(boxes)))
+    # survivors are mutually non-overlapping beyond the threshold
+    from cadastral_map_ocr_system_spark.functions.geometry import py_iou
+
+    for i in kept:
+        for j in kept:
+            if i < j:
+                assert py_iou(boxes[i], boxes[j]) <= 0.3 + 1e-9
+    # idempotent: NMS of survivors keeps all survivors
+    assert py_nms([boxes[i] for i in kept], [confs[i] for i in kept]) == list(
+        range(len(kept))
+    )

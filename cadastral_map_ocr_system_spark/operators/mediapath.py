@@ -73,15 +73,12 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def extract_regions(grid: np.ndarray) -> list[dict]:
-    """Binarize -> 4-connected components -> min-area filter -> decode.
+def _components(grid: np.ndarray) -> list[dict]:
+    """Binarize -> 4-connected components via run-length union-find.
 
-    Returns regions sorted by (ymin, xmin), each with bbox, area,
-    center, and the decoded token (pixels whose value differs from the
-    region fill are token bytes). Components are pixel-disjoint by
-    construction, so no post-hoc overlap suppression is needed here
-    (NMS is exposed separately in operators/nms.py for overlapping
-    detector outputs).
+    Returns raw components (bbox, area, runs) with no filtering — the
+    shared segmentation primitive behind token regions (extract_regions)
+    and line segments (extract_line_segments).
     """
     mask = grid > BIN_THRESHOLD
     sy, sx, ex = _row_runs(mask)
@@ -131,9 +128,23 @@ def extract_regions(grid: np.ndarray) -> list[dict]:
             c["xmax"] = max(c["xmax"], x1)
             c["area"] += x1 - x0
             c["runs"].append((y, x0, x1))
+    return list(comps.values())
 
+
+MIN_LINE_LEN = 15  # min Hough-analogue segment length, px
+
+
+def extract_regions(grid: np.ndarray) -> list[dict]:
+    """Token regions: min-area filter -> token decode (E1+E4).
+
+    Regions sorted by (ymin, xmin), each with bbox, area, center, and
+    the decoded token (pixels whose value differs from the region fill
+    are token bytes). Components are pixel-disjoint by construction, so
+    no post-hoc overlap suppression is needed here (NMS is exposed
+    separately in operators/nms.py for overlapping detector outputs).
+    """
     regions = []
-    for c in comps.values():
+    for c in _components(grid):
         if c["area"] < MIN_AREA:
             continue  # min-area noise filter (symbol_detector.py:148,207)
         token_bytes = []
@@ -154,6 +165,89 @@ def extract_regions(grid: np.ndarray) -> list[dict]:
         )
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions
+
+
+def extract_line_segments(grid: np.ndarray) -> list[dict]:
+    """Line segments (E2, the Hough-pass analogue): thin components
+    (width or height <= 2 px) at least MIN_LINE_LEN long, as
+    (x1,y1)->(x2,y2) with length and axis angle — the reference's
+    transport-line rows (symbol_detector.py:215-245, angle/length at
+    253-254). Sorted by (ymin, xmin)."""
+    lines = []
+    for c in _components(grid):
+        h = c["ymax"] - c["ymin"] + 1
+        w = c["xmax"] - c["xmin"]
+        if h <= 2 and w >= MIN_LINE_LEN:
+            lines.append(
+                {
+                    "x1": c["xmin"], "y1": c["ymin"],
+                    "x2": c["xmax"] - 1, "y2": c["ymin"],
+                    "length": float(w), "angle": 0.0,
+                }
+            )
+        elif w <= 2 and h >= MIN_LINE_LEN:
+            lines.append(
+                {
+                    "x1": c["xmin"], "y1": c["ymin"],
+                    "x2": c["xmin"], "y2": c["ymax"],
+                    "length": float(h), "angle": 90.0,
+                }
+            )
+    lines.sort(key=lambda r: (r["y1"], r["x1"]))
+    return lines
+
+
+LINE_SCHEMA = (
+    "doc_id string, offset int, line_idx int, media_ref string, "
+    "x1 int, y1 int, x2 int, y2 int, length double, angle double"
+)
+
+
+def line_features(media_spans_df):
+    """DataFrame stage: exploded media spans -> line-segment rows
+    (1->N mapInArrow, same shape as the token path)."""
+    import pyarrow as _pa
+
+    schema_arrow = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("offset", pa.int32()),
+            pa.field("line_idx", pa.int32()),
+            pa.field("media_ref", pa.string()),
+            pa.field("x1", pa.int32()),
+            pa.field("y1", pa.int32()),
+            pa.field("x2", pa.int32()),
+            pa.field("y2", pa.int32()),
+            pa.field("length", pa.float64()),
+            pa.field("angle", pa.float64()),
+        ]
+    )
+
+    def gen(batches):
+        buf = []
+        for batch in batches:
+            for doc_id, offset, ref in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("offset").to_pylist(),
+                batch.column("media_ref").to_pylist(),
+            ):
+                grid = decode_payload(_resolve_payload(ref))
+                for i, ln in enumerate(extract_line_segments(grid)):
+                    buf.append(
+                        {"doc_id": doc_id, "offset": offset, "line_idx": i,
+                         "media_ref": ref, **ln}
+                    )
+                while len(buf) >= OUTPUT_CHUNK_ROWS:
+                    yield _pa.RecordBatch.from_pylist(
+                        buf[:OUTPUT_CHUNK_ROWS], schema=schema_arrow
+                    )
+                    buf = buf[OUTPUT_CHUNK_ROWS:]
+        if buf:
+            yield _pa.RecordBatch.from_pylist(buf, schema=schema_arrow)
+
+    return media_spans_df.select("doc_id", "offset", "media_ref").mapInArrow(
+        gen, schema=LINE_SCHEMA
+    )
 
 
 # ----------------------------------------------------- record emission

@@ -30,11 +30,11 @@ from .operators.mediapath import token_conf
 from .synth import BIN_THRESHOLD, FILL, MIN_AREA, decode_payload, media_payload
 
 
-def _flood_regions(grid) -> list[dict]:
-    """BFS 4-connected components over grid > threshold."""
+def _flood_components(grid) -> list[list[tuple[int, int]]]:
+    """BFS 4-connected components over grid > threshold (no filters)."""
     h, w = grid.shape
     seen = [[False] * w for _ in range(h)]
-    regions = []
+    comps = []
     for y0 in range(h):
         for x0 in range(w):
             if grid[y0][x0] <= BIN_THRESHOLD or seen[y0][x0]:
@@ -49,6 +49,14 @@ def _flood_regions(grid) -> list[dict]:
                     if 0 <= ny < h and 0 <= nx < w and not seen[ny][nx] and grid[ny][nx] > BIN_THRESHOLD:
                         seen[ny][nx] = True
                         q.append((ny, nx))
+            comps.append(pixels)
+    return comps
+
+
+def _flood_regions(grid) -> list[dict]:
+    """Token regions: min-area filtered components + decoded tokens."""
+    regions = []
+    for pixels in _flood_components(grid):
             if len(pixels) < MIN_AREA:
                 continue
             ys = [p[0] for p in pixels]
@@ -74,6 +82,29 @@ def _flood_regions(grid) -> list[dict]:
             )
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions
+
+
+def line_segments(grid) -> list[dict]:
+    """Independent mirror of mediapath.extract_line_segments: thin
+    (<=2 px) components at least 15 px long, as axis-aligned segments."""
+    lines = []
+    for pixels in _flood_components(grid):
+        ys = [p[0] for p in pixels]
+        xs = [p[1] for p in pixels]
+        h = max(ys) - min(ys) + 1
+        w = max(xs) - min(xs) + 1
+        if h <= 2 and w >= 15:
+            lines.append(
+                {"x1": min(xs), "y1": min(ys), "x2": max(xs), "y2": min(ys),
+                 "length": float(w), "angle": 0.0}
+            )
+        elif w <= 2 and h >= 15:
+            lines.append(
+                {"x1": min(xs), "y1": min(ys), "x2": min(xs), "y2": max(ys),
+                 "length": float(h), "angle": 90.0}
+            )
+    lines.sort(key=lambda r: (r["y1"], r["x1"]))
+    return lines
 
 
 def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:

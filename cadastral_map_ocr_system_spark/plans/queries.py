@@ -589,6 +589,123 @@ def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_padded_zip(spark: SparkSession, sf: str) -> DataFrame:
+    """O5 pad-to-equal-length zip (reference CSV sink shape,
+    detect.py:742-749): two ranked lists full-outer-joined on row
+    number, shorter side padded with ''."""
+    cust = load(spark, sf, "customer").select("c_name")
+    supp = load(spark, sf, "supplier").select("s_name")
+    wc = Window.orderBy("c_name")
+    ws = Window.orderBy("s_name")
+    a = cust.select(F.row_number().over(wc).alias("rn"), "c_name")
+    b = supp.select(F.row_number().over(ws).alias("rn"), "s_name")
+    return (
+        a.join(b, "rn", "full_outer")
+        .select(
+            "rn",
+            F.coalesce("c_name", F.lit("")).alias("characters"),
+            F.coalesce("s_name", F.lit("")).alias("numbers"),
+        )
+    )
+
+
+SQL_PADDED_ZIP = """
+WITH a AS (SELECT row_number() OVER (ORDER BY c_name) AS rn, c_name FROM customer),
+     b AS (SELECT row_number() OVER (ORDER BY s_name) AS rn, s_name FROM supplier)
+SELECT COALESCE(a.rn, b.rn) AS rn,
+       COALESCE(c_name, '') AS characters,
+       COALESCE(s_name, '') AS numbers
+FROM a FULL OUTER JOIN b ON a.rn = b.rn
+"""
+
+
+def q_pattern_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 analogue: broadcast nested-loop theta-join of a tiny pattern
+    set against every row (reference template x region matching,
+    detect.py:1368-1416)."""
+    part = load(spark, sf, "part")
+    pats = spark.createDataFrame(
+        [("%red%",), ("%blue%",), ("%bolt%",)], "pattern string"
+    )
+    return (
+        part.join(F.broadcast(pats), F.expr("p_name LIKE pattern"))
+        .select("p_partkey", "p_name", "pattern")
+    )
+
+
+SQL_PATTERN_JOIN = """
+SELECT p_partkey, p_name, pattern
+FROM part JOIN (VALUES ('%red%'), ('%blue%'), ('%bolt%')) v(pattern)
+ON p_name LIKE pattern
+"""
+
+
+def q_media_line_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 aggregate over the line-feature path (rows-only: the segment
+    extraction is mapInArrow; pytest checks kernel parity with the
+    oracle): per-document transport-line count + total length."""
+    from .. import synth
+    from ..operators.mediapath import line_features
+    from .pipeline import explode_spans
+
+    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    media = explode_spans(docs).filter(F.col("kind") == "media")
+    return (
+        line_features(media)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("length"), 2).alias("total_length"),
+        )
+    )
+
+
+def q_line_angle_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 binned histogram + A8 percentiles over line features
+    (rows-only)."""
+    from .. import synth
+    from ..operators.mediapath import line_features
+    from .pipeline import explode_spans
+
+    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    media = explode_spans(docs).filter(F.col("kind") == "media")
+    lf = line_features(media)
+    pct = F.percentile("length", F.lit([0.1, 0.9]))
+    return lf.groupBy(F.floor(F.col("angle") / 30).cast("int").alias("angle_bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.element_at(pct, 1), 4).alias("len_p10"),
+        F.round(F.element_at(pct, 2), 4).alias("len_p90"),
+    )
+
+
+def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """J2+A11: greedy IoU matching of detections vs ground truth via a
+    cogrouped map, then precision/recall/F1 (rows-only: greedy matching
+    is order-dependent). GT = all extracted regions; detections = the
+    even-indexed ones -> recall 0.5-ish, precision 1.0."""
+    from .. import synth
+    from ..operators.evaluation import evaluation_metrics, greedy_iou_match
+    from ..operators.mediapath import media_detections
+    from .pipeline import explode_spans
+
+    docs = synth.synth_docs_df(spark, 200, seed=42, skew_frac=0.02)
+    media = explode_spans(docs).filter(F.col("kind") == "media")
+    det_all = media_detections(media).select(
+        "doc_id",
+        "offset",
+        F.when(F.col("is_number"), "survey").otherwise("place").alias("category"),
+        F.col("region_idx").alias("idx"),
+        (F.col("cx") - 5).alias("x"),
+        (F.col("cy") - 2).alias("y"),
+        F.lit(10.0).alias("w"),
+        F.lit(4.0).alias("h"),
+        "conf",
+    )
+    gt = det_all.drop("conf")
+    det = det_all.filter(F.col("idx") % 2 == 0)
+    return evaluation_metrics(greedy_iou_match(det, gt))
+
+
 # ------------------------------------------------------------------ registry
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
@@ -617,4 +734,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
     "extract_pipeline": (q_extract_pipeline, None),
     "greedy_dedup": (q_greedy_dedup, None),
+    "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
+    "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),
+    "media_line_stats": (q_media_line_stats, None),
+    "line_angle_histogram": (q_line_angle_histogram, None),
+    "evaluation_metrics": (q_evaluation_metrics, None),
 }

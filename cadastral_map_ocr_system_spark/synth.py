@@ -90,11 +90,24 @@ def media_payload(media_ref: str) -> bytes:
         grid[y0 + 1, x0 + 1 : x0 + 1 + len(tb)] = np.frombuffer(tb, dtype=np.uint8)
 
     # sub-min-area noise blobs + speckles in unused cells
+    idx = n_regions
     for idx in range(n_regions, min(n_regions + rng.randint(1, 3), len(cells))):
         r, c = cells[idx]
         y0, x0 = r * cell_h + 3, c * cell_w + 3
         side = rng.randint(2, 6)  # area 4..36 < MIN_AREA
         grid[y0 : y0 + side, x0 : x0 + side] = FILL
+    # 1-px line strokes ("transport lines") in further unused cells;
+    # they decode no token, so span outputs are unaffected — they feed
+    # the line-feature path (operators/mediapath.extract_line_segments)
+    for lidx in range(idx + 1, min(idx + 1 + rng.randint(0, 3), len(cells))):
+        r, c = cells[lidx]
+        y0, x0 = r * cell_h + 2, c * cell_w + 2
+        if rng.random() < 0.5:  # horizontal, len 16..28
+            ln = rng.randint(16, cell_w - 4)
+            grid[y0 + rng.randint(0, cell_h - 6), x0 : x0 + ln] = FILL
+        else:  # vertical, len 16..20
+            ln = rng.randint(16, cell_h - 4)
+            grid[y0 : y0 + ln, x0 + rng.randint(0, cell_w - 6)] = FILL
     for _ in range(rng.randint(0, 4)):
         y, x = rng.randrange(h), rng.randrange(w)
         if grid[y, x] == 0 and not (grid[max(y-1,0):y+2, max(x-1,0):x+2] > 0).any():

@@ -1,0 +1,64 @@
+"""Driver-contract smoke: entry() runs on sf0.001 with a stable schema;
+every queries() key with SQL has a matching oracle_sql() entry; sinks
+produce the reference shapes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "kind", "text", "media_ref", "order",
+    ]
+    assert df.count() > 0
+
+
+def test_query_oracle_keys_align():
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25
+
+
+def test_iit_sinks(spark, tmp_path):
+    from cadastral_map_ocr_system_spark import synth
+    from cadastral_map_ocr_system_spark.operators.mediapath import media_detections
+    from cadastral_map_ocr_system_spark.operators.sinks import (
+        characters_numbers_frame,
+        statistics_block,
+        write_iit_csv,
+    )
+    from cadastral_map_ocr_system_spark.plans.pipeline import explode_spans
+    from cadastral_map_ocr_system_spark.schema import DOCS
+
+    docs = spark.createDataFrame(synth.synth_docs_pylist(40, seed=8), schema=DOCS)
+    det = media_detections(
+        explode_spans(docs).filter(F.col("kind") == "media")
+    )
+    frame = characters_numbers_frame(det)
+    # padded: every doc has max(n_names, n_numbers) rows
+    per_doc = frame.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    counts = det.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_number"), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when(~F.col("is_number"), 1).otherwise(0)).alias("nc"),
+    ).collect()
+    want = {r["doc_id"]: max(r["nn"], r["nc"]) for r in counts}
+    got = {r["doc_id"]: r["n"] for r in per_doc}
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+    stats = statistics_block(det)
+    row = stats.agg(F.sum("total_place_names"), F.sum("total_survey_numbers")).first()
+    assert row[0] > 0 and row[1] > 0
+
+    out = str(tmp_path / "iit_csv")
+    write_iit_csv(det, out)
+    assert spark.read.option("header", True).csv(out).count() == frame.count()

@@ -365,6 +365,81 @@ def media_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         yield pa.RecordBatch.from_pylist(buf, schema=DETECTIONS_ARROW)
 
 
+def span_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Single-pass mapInArrow body over ALL spans.
+
+    One scan of the docs table feeds one exchange and one Python stage
+    (two branched plans would double-read the spans column — parquet
+    does not prune struct fields here, so the naive union-of-branches
+    plan costs 2x IO at corpus scale):
+
+      - media spans  -> extracted detection rows (the 1->N OCR path);
+      - text spans   -> COLUMNAR passthrough (pyarrow filter + column
+        reuse, no per-row Python; boilerplate cleanup happens after
+        this stage in whole-stage codegen);
+      - null-kind sentinels (posexplode_outer of empty docs) ->
+        passthrough, so empty documents survive to the re-zip without
+        a corpus-wide join.
+    """
+    import pyarrow.compute as pc
+
+    buf: list[dict] = []
+    for batch in batches:
+        kind = batch.column("kind")
+        is_media = pc.equal(kind, "media")
+        media_mask = pc.fill_null(is_media, False)
+        # ---- non-media rows (text + sentinels): columnar passthrough
+        passthrough = batch.filter(pc.invert(media_mask))
+        if passthrough.num_rows:
+            n = passthrough.num_rows
+            pkind = passthrough.column("kind")
+            is_text = pc.fill_null(pc.equal(pkind, "text"), False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    passthrough.column("doc_id"),
+                    pc.fill_null(passthrough.column("offset"), -1).cast(pa.int32()),
+                    pa.array([0] * n, pa.int32()),
+                    pa.array([0] * n, pa.int32()),
+                    pkind,
+                    passthrough.column("text"),
+                    pa.nulls(n, pa.string()),
+                    pc.if_else(is_text, pa.scalar(1.0), pa.scalar(None, pa.float64())),
+                    pa.array([0.0] * n, pa.float64()),
+                    pa.array([0.0] * n, pa.float64()),
+                    pa.array([False] * n, pa.bool_()),
+                ],
+                schema=DETECTIONS_ARROW,
+            )
+        # ---- media rows: per-payload extraction
+        media = batch.filter(media_mask)
+        for doc_id, offset, ref in zip(
+            media.column("doc_id").to_pylist(),
+            media.column("offset").to_pylist(),
+            media.column("media_ref").to_pylist(),
+        ):
+            buf.extend(extract_media_records(doc_id, offset, ref))
+            while len(buf) >= OUTPUT_CHUNK_ROWS:
+                yield pa.RecordBatch.from_pylist(
+                    buf[:OUTPUT_CHUNK_ROWS], schema=DETECTIONS_ARROW
+                )
+                buf = buf[OUTPUT_CHUNK_ROWS:]
+    if buf:
+        yield pa.RecordBatch.from_pylist(buf, schema=DETECTIONS_ARROW)
+
+
+def span_detections(spans_df):
+    """DataFrame stage: ALL exploded spans -> detection rows in one
+    Python stage (see span_batches)."""
+    schema = (
+        "doc_id string, offset int, region_idx int, token_idx int, "
+        "kind string, text string, media_ref string, conf double, "
+        "cx double, cy double, is_number boolean"
+    )
+    return spans_df.select(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    ).mapInArrow(span_batches, schema=schema)
+
+
 def media_detections(media_spans_df):
     """DataFrame stage: exploded media spans -> detection rows.
 

@@ -1,15 +1,27 @@
 """The flagship extraction plan (reference EP1, OCR/src/detect.py:1466-1571,
 re-expressed as one lazy DataFrame graph — SURVEY.md §3).
 
-    docs ──posexplode(spans)──┬─ text spans ── strip_boilerplate (codegen)
-                              └─ media spans ─ repartition by (doc_id,offset)
-                                               └ mapInArrow extract ─ dedup
-                              union ── groupBy(doc_id) re-zip ── extracted
+    docs ──posexplode_outer(spans)
+         ── repartition(doc_id, offset)          [skew spread, 1 shuffle]
+         ── mapInArrow span stage                [media extract + dedup;
+                                                  text/sentinel columnar
+                                                  passthrough]
+         ── strip_boilerplate on text rows       [whole-stage codegen]
+         ── groupBy(doc_id) re-zip               [1 shuffle]
+         ── extracted(doc_id, spans[(kind,text,media_ref,order)])
 
-Shuffle budget: exactly two wide stages — the per-span repartition that
-spreads skewed (huge-span) documents across tasks, and the
-groupBy(doc_id) for dedup + re-zip. AQE coalesces/splits post-shuffle
-partitions at runtime (session.py turns it on).
+Plan-shape invariants (kept deliberately, verified in
+tests/test_plan_shape.py):
+  - ONE scan of the docs table. A union-of-branches plan re-reads the
+    full spans column per branch (parquet does not prune struct fields
+    through posexplode), doubling IO at corpus scale.
+  - TWO shuffles total: the per-span spread and the per-doc re-zip.
+    Empty documents ride through as posexplode_outer sentinel rows and
+    are dropped inside the re-zip transform — no corpus-wide join to
+    re-attach them.
+  - Text cleanup is built-in column expressions AFTER the Arrow stage,
+    so it stays inside codegen; the Arrow stage passes text through
+    columnar (no per-row Python on the text path).
 """
 
 from __future__ import annotations
@@ -17,16 +29,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.mediapath import media_detections
+from ..functions.text import strip_boilerplate
+from ..operators.mediapath import span_detections
 from ..operators.rezip import rezip
-from ..operators.textpath import text_detections
 
 
-def explode_spans(docs: DataFrame) -> DataFrame:
-    """docs -> one row per span (narrow; no shuffle)."""
-    return docs.select(
-        "doc_id", F.posexplode("spans").alias("pos", "span")
-    ).select(
+def explode_spans(docs: DataFrame, keep_empty_docs: bool = False) -> DataFrame:
+    """docs -> one row per span (narrow; no shuffle).
+
+    keep_empty_docs: use posexplode_outer so a document with zero spans
+    yields one null-kind sentinel row (consumed by rezip).
+    """
+    explode = F.posexplode_outer if keep_empty_docs else F.posexplode
+    return docs.select("doc_id", explode("spans").alias("pos", "span")).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
@@ -41,25 +56,32 @@ def extract(docs: DataFrame, spread_spans: bool = True) -> DataFrame:
     spread_spans: repartition exploded spans on (doc_id, offset) before
     the per-span work. This is the skew/salting stage (SURVEY.md §4.3):
     it spreads a 10k-span document across tasks instead of pinning one,
-    and it decouples processing parallelism from input-split count
-    (a handful of small parquet files would otherwise serialize the
-    whole per-span stage on a few cores). Dedup/re-zip re-group on the
-    unsalted doc_id afterwards. Disable only when the scan itself is
-    already well-partitioned and skew-free.
+    and it decouples processing parallelism from input-split count.
+    Disable only when the scan itself is already well-partitioned and
+    skew-free.
     """
-    spans = explode_spans(docs)
+    spans = explode_spans(docs, keep_empty_docs=True)
     if spread_spans:
         spark = docs.sparkSession
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         spans = spans.repartition(n, "doc_id", "offset")
 
-    text_rows = text_detections(spans.filter(F.col("kind") == "text"))
-    # per-payload greedy dedup happens inside the media batch fn
-    # (mediapath.greedy_dedup_payload): the dedup rule only relates
-    # detections of one payload, so no grouped shuffle is needed.
-    # operators/dedup.dedup_detections remains the grouped-map form for
-    # cross-span dedup policies.
-    media_rows = media_detections(spans.filter(F.col("kind") == "media"))
-
-    detections = text_rows.unionByName(media_rows)
-    return rezip(detections, doc_ids_df=docs.select("doc_id"))
+    rows = span_detections(spans)
+    cleaned = rows.withColumn(
+        "text",
+        F.when(F.col("kind") == "text", strip_boilerplate(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        # text spans whose cleaned content is empty become sentinels:
+        # they keep the doc_id alive through the groupBy (the reference
+        # drops empty hits, detect.py:366-368; the document itself must
+        # still appear in the output) and are dropped inside rezip.
+        "kind",
+        F.when(
+            (F.col("kind") == "text")
+            & (F.col("text").isNull() | (F.length("text") == 0)),
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("kind")),
+    )
+    return rezip(cleaned)

@@ -133,6 +133,97 @@ def _components(grid: np.ndarray) -> list[dict]:
 
 MIN_LINE_LEN = 15  # min Hough-analogue segment length, px
 
+# -------------------------------------------------------------- deskew
+# Orientation correction (P4, OCR/src/comprehensive_detector.py:81-99):
+# per-component angle -> median -> rotate if |angle| > 0.5 deg.
+DESKEW_MIN_ANGLE = 0.5
+DESKEW_MIN_ELONGATION = 1.5
+
+
+def _component_angle(c: dict) -> tuple[float, float] | None:
+    """Principal-axis angle (deg) of one component from its run-length
+    representation, via closed-form second moments (no pixel
+    materialization). Returns (angle_deg, elongation) or None."""
+    n = sx = sy = sxx = syy = sxy = 0.0
+    for y, x0, x1 in c["runs"]:
+        m = x1 - x0
+        rsx = m * (x0 + x1 - 1) / 2.0
+        # sum of k^2 for k in [x0, x1): S2(x1-1) - S2(x0-1)
+        def s2(k):
+            return k * (k + 1) * (2 * k + 1) / 6.0
+        rsxx = s2(x1 - 1) - s2(x0 - 1)
+        n += m
+        sx += rsx
+        sy += y * m
+        sxx += rsxx
+        syy += y * y * m
+        sxy += y * rsx
+    if n < MIN_AREA:
+        return None
+    mx, my = sx / n, sy / n
+    cxx = sxx / n - mx * mx
+    cyy = syy / n - my * my
+    cxy = sxy / n - mx * my
+    import math
+
+    tr = cxx + cyy
+    det = math.sqrt(max((cxx - cyy) ** 2 + 4 * cxy * cxy, 0.0))
+    l1, l2 = (tr + det) / 2.0, (tr - det) / 2.0
+    if l2 <= 1e-9 or l1 / max(l2, 1e-9) < DESKEW_MIN_ELONGATION**2:
+        return None
+    angle = 0.5 * math.degrees(math.atan2(2 * cxy, cxx - cyy))
+    # fold to [-45, 45): text-block orientation, not direction
+    while angle >= 45:
+        angle -= 90
+    while angle < -45:
+        angle += 90
+    return angle, l1 / max(l2, 1e-9)
+
+
+def estimate_skew_angle(grid: np.ndarray) -> float:
+    """Median principal-axis angle over elongated components (the
+    reference takes the median over text-box angles)."""
+    angles = []
+    for c in _components(grid):
+        a = _component_angle(c)
+        if a is not None:
+            angles.append(a[0])
+    if not angles:
+        return 0.0
+    angles.sort()
+    m = len(angles)
+    return angles[m // 2] if m % 2 else (angles[m // 2 - 1] + angles[m // 2]) / 2.0
+
+
+def rotate_grid(grid: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Nearest-neighbour rotation about the center, same canvas size
+    (value-preserving: every output pixel copies one input pixel)."""
+    import math
+
+    h, w = grid.shape
+    rad = math.radians(angle_deg)
+    cos, sin = math.cos(rad), math.sin(rad)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = np.mgrid[0:h, 0:w]
+    # inverse map: output (y,x) samples input rotated by -angle
+    xr = cos * (xs - cx) + sin * (ys - cy) + cx
+    yr = -sin * (xs - cx) + cos * (ys - cy) + cy
+    xi = np.rint(xr).astype(np.int64)
+    yi = np.rint(yr).astype(np.int64)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out = np.zeros_like(grid)
+    out[valid] = grid[yi[valid], xi[valid]]
+    return out
+
+
+def deskew_grid(grid: np.ndarray) -> np.ndarray:
+    """P4: rotate by -median-angle when it exceeds the threshold.
+    Axis-aligned payloads estimate ~0 deg and pass through untouched."""
+    angle = estimate_skew_angle(grid)
+    if abs(angle) <= DESKEW_MIN_ANGLE:
+        return grid
+    return rotate_grid(grid, -angle)
+
 
 def extract_regions(grid: np.ndarray) -> list[dict]:
     """Token regions: min-area filter -> token decode (E1+E4).
@@ -310,10 +401,23 @@ def greedy_dedup_payload(records: list[dict]) -> list[dict]:
 
 
 def extract_media_records(
-    doc_id: str, offset: int, media_ref: str, dedup: bool = True
+    doc_id: str,
+    offset: int,
+    media_ref: str,
+    dedup: bool = True,
+    deskew: bool = False,
 ) -> list[dict]:
-    """One media span -> N classified detection records."""
+    """One media span -> N classified detection records.
+
+    deskew: opt-in orientation correction (P4) for scanned/rotated
+    corpora. Off by default: the synthetic fixture is axis-aligned and
+    nearest-neighbour resampling of an already-straight payload can
+    reorder token pixels (observed: a borderline 0.6-degree estimate
+    scrambled one token), so the golden-invariant path never rotates.
+    """
     grid = decode_payload(_resolve_payload(media_ref))
+    if deskew:
+        grid = deskew_grid(grid)
     out = []
     for region_idx, reg in enumerate(extract_regions(grid)):
         token = reg["token"]

@@ -521,7 +521,22 @@ def span_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             media.column("offset").to_pylist(),
             media.column("media_ref").to_pylist(),
         ):
-            buf.extend(extract_media_records(doc_id, offset, ref))
+            recs = extract_media_records(doc_id, offset, ref)
+            if not recs:
+                # a media span whose regions are all rejected must still
+                # keep its document alive through the re-zip (same
+                # null-kind sentinel mechanism as the empty-text path);
+                # rezip drops the sentinel from the spans array.
+                recs = [
+                    {
+                        "doc_id": doc_id, "offset": offset,
+                        "region_idx": 0, "token_idx": 0,
+                        "kind": None, "text": None, "media_ref": None,
+                        "conf": None, "cx": 0.0, "cy": 0.0,
+                        "is_number": False,
+                    }
+                ]
+            buf.extend(recs)
             while len(buf) >= OUTPUT_CHUNK_ROWS:
                 yield pa.RecordBatch.from_pylist(
                     buf[:OUTPUT_CHUNK_ROWS], schema=DETECTIONS_ARROW

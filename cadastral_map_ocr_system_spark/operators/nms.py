@@ -22,10 +22,12 @@ def py_nms(
     confs: list[float],
     threshold: float = DEFAULT_IOU_THRESHOLD,
 ) -> list[int]:
-    """Indices of kept boxes (xywh), greedy by conf desc then index."""
+    """Indices of kept boxes (xywh), greedy by conf desc; ties broken by
+    box geometry (x, y, w, h) — a total order over the values themselves,
+    so survivors are identical at any shuffle order / parallelism."""
     from ..functions.geometry import py_iou
 
-    order = sorted(range(len(boxes)), key=lambda i: (-confs[i], i))
+    order = sorted(range(len(boxes)), key=lambda i: (-confs[i], boxes[i]))
     kept: list[int] = []
     for i in order:
         if all(py_iou(boxes[i], boxes[j]) <= threshold for j in kept):

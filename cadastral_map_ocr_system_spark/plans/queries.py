@@ -175,7 +175,7 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_JSON_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
@@ -295,7 +295,7 @@ WITH g AS (
          epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events)
 SELECT user_id,
-       SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM g GROUP BY user_id
 """

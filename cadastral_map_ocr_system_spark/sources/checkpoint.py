@@ -70,6 +70,13 @@ def run_extraction(
     buckets are skipped via anti-join; partially written buckets are
     overwritten whole.
     """
+    # resume correctness REQUIRES dynamic partition overwrite: with the
+    # static default, the per-group overwrite below would wipe every
+    # previously committed bucket while the checkpoint table still marks
+    # them committed. Set it here so sessions not built via get_spark()
+    # are safe too.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
     docs_b = docs.withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
 
     committed = committed_partitions(spark, checkpoint_path, run_id)

@@ -4,13 +4,15 @@ Uses foreachBatch so the exact batch plan (plans/pipeline.extract) runs
 per micro-batch — one code path for batch and streaming, which is the
 only way to keep span-sequence equality guarantees identical in both
 modes. Exactly-once at the sink comes from the micro-batch epoch id +
-idempotent partition overwrite, same mechanism as the batch
-checkpointing.
+idempotent partition overwrite: output is partitioned by epoch_id and
+each epoch dynamically overwrites ONLY its own partition, so a replayed
+micro-batch rewrites rather than duplicates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.pipeline import extract
 
@@ -36,9 +38,17 @@ def stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # exactly-once: partition the sink by the micro-batch epoch id
+        # and overwrite only that partition (dynamic mode). A retried
+        # epoch after a crash between sink write and offset commit
+        # REPLACES its own partition instead of appending duplicates.
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             extract(batch_df)
-            .write.mode("append")
+            .withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id")
             .parquet(output_path)
         )
 

@@ -30,7 +30,12 @@ import pyarrow as pa
 
 MAGIC = b"CM01"
 FILL = 200          # region fill intensity
-BIN_THRESHOLD = 50  # binarization threshold (payloads are bimodal)
+# Binarization threshold. Must sit BELOW the printable-ASCII range
+# (33..126) so every token byte stamped into a region binarizes to
+# foreground: at a higher cut, digits '0'/'1'/'2' (48..50) would vanish
+# from decoded tokens and numbers containing them would be corrupted
+# (the >9999 range-rejection would never actually fire).
+BIN_THRESHOLD = 32
 MIN_AREA = 50       # min region area, px (symbol_detector.py:148,207)
 
 # reference golden vocabulary (OCR/results/cadastral_output.csv) + dirty

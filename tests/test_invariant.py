@@ -34,6 +34,22 @@ def test_span_sequence_equality(spark):
     )
 
 
+def test_every_doc_survives_at_scale(spark):
+    """N=2000: no document vanishes, including docs whose spans are all
+    media with every region rejected (those ride through span_batches as
+    null-kind sentinels — regression test for the round-1 dropout where
+    seed-42 doc-000000000805 was absent from extract() output)."""
+    docs = synth.synth_docs_pylist(2000, seed=42)
+    golden = oracle.extract_corpus(docs)
+    got = _spark_result(spark, docs)
+    missing = set(golden) - set(got)
+    assert not missing, f"{len(missing)} docs vanished: {sorted(missing)[:5]}"
+    empty_docs = [d for d, seq in golden.items() if not seq]
+    assert empty_docs, "fixture must include at least one fully-empty doc"
+    for d in empty_docs:
+        assert got[d] == []
+
+
 def test_determinism(spark):
     """Two runs produce identical output (SURVEY.md §5 step 4)."""
     docs = synth.synth_docs_pylist(50, seed=7)

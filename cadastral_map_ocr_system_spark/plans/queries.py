@@ -437,17 +437,35 @@ sh AS (
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return corpus_dedup.ngram_jaccard_pairs(
-        load(spark, sf, "documents"), k=3, threshold=0.05
+    """Exact word-3-gram Jaccard, gated to MinHash-LSH candidate pairs
+    (the corpus-scale plan; the ungated quadratic variant stays
+    available as corpus_dedup.ngram_jaccard_pairs for verification)."""
+    return corpus_dedup.lsh_jaccard_pairs(
+        load(spark, sf, "documents"), k=3, threshold=0.05, n_hashes=16, bands=4
     )
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH {_SH_CTE},
+minh AS (
+  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+  FROM minh GROUP BY doc_id, seed // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
@@ -592,30 +610,44 @@ def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def q_padded_zip(spark: SparkSession, sf: str) -> DataFrame:
     """O5 pad-to-equal-length zip (reference CSV sink shape,
     detect.py:742-749): two ranked lists full-outer-joined on row
-    number, shorter side padded with ''."""
-    cust = load(spark, sf, "customer").select("c_name")
-    supp = load(spark, sf, "supplier").select("s_name")
-    wc = Window.orderBy("c_name")
-    ws = Window.orderBy("s_name")
-    a = cust.select(F.row_number().over(wc).alias("rn"), "c_name")
-    b = supp.select(F.row_number().over(ws).alias("rn"), "s_name")
-    return (
-        a.join(b, "rn", "full_outer")
-        .select(
-            "rn",
-            F.coalesce("c_name", F.lit("")).alias("characters"),
-            F.coalesce("s_name", F.lit("")).alias("numbers"),
-        )
+    number, shorter side padded with ''.
+
+    Ranked PER GROUP (nation), matching the per-document sink
+    (sinks.characters_numbers_frame): a global Window.orderBy would
+    funnel the whole table through one task — a scale-killer. The
+    reference's sink is per-map anyway; per-group is the faithful shape."""
+    cust = load(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_name"
+    )
+    supp = load(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), "s_name"
+    )
+    wc = Window.partitionBy("nationkey").orderBy("c_name")
+    ws = Window.partitionBy("nationkey").orderBy("s_name")
+    a = cust.select("nationkey", F.row_number().over(wc).alias("rn"), "c_name")
+    b = supp.select("nationkey", F.row_number().over(ws).alias("rn"), "s_name")
+    return a.join(b, ["nationkey", "rn"], "full_outer").select(
+        "nationkey",
+        "rn",
+        F.coalesce("c_name", F.lit("")).alias("characters"),
+        F.coalesce("s_name", F.lit("")).alias("numbers"),
     )
 
 
 SQL_PADDED_ZIP = """
-WITH a AS (SELECT row_number() OVER (ORDER BY c_name) AS rn, c_name FROM customer),
-     b AS (SELECT row_number() OVER (ORDER BY s_name) AS rn, s_name FROM supplier)
-SELECT COALESCE(a.rn, b.rn) AS rn,
+WITH a AS (SELECT c_nationkey AS nationkey,
+                  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rn,
+                  c_name
+           FROM customer),
+     b AS (SELECT s_nationkey AS nationkey,
+                  row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) AS rn,
+                  s_name
+           FROM supplier)
+SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey,
+       COALESCE(a.rn, b.rn) AS rn,
        COALESCE(c_name, '') AS characters,
        COALESCE(s_name, '') AS numbers
-FROM a FULL OUTER JOIN b ON a.rn = b.rn
+FROM a FULL OUTER JOIN b ON a.nationkey = b.nationkey AND a.rn = b.rn
 """
 
 

@@ -258,6 +258,92 @@ def extract_regions(grid: np.ndarray) -> list[dict]:
     return regions
 
 
+# ----------------------------------------------------------- E3 tiling
+# Block tiling with overlap (OCR/src/detect.py:1260-1262, 1344-1419):
+# the reference splits a 5300x4950 scan into fixed tiles with 50%
+# overlap, skips near-empty tiles, and maps detections back to the
+# global frame — bounding per-task memory to one tile regardless of
+# payload size. Same scheme here: tile 128, stride 64 (overlap 64).
+#
+# Exactness contract: a component whose bbox max dimension is at most
+# TILE_SIZE - TILE_STRIDE is strictly contained in at least one tile
+# (sliding-window pigeonhole), and a component strictly inside a tile
+# has identical runs there, so after dropping regions that touch a
+# non-global tile edge (those are potential clips) and deduplicating by
+# absolute bbox+token, the tiled output EQUALS the untiled output
+# (pinned by tests and by the golden invariant — big skew payloads are
+# tiled by default).
+TILE_SIZE = 128
+TILE_STRIDE = 64
+
+
+def tile_origins(n: int, tile: int = TILE_SIZE, stride: int = TILE_STRIDE) -> list[int]:
+    """Tile start offsets covering [0, n): step by stride until a tile
+    reaches the end."""
+    starts = [0]
+    while starts[-1] + tile < n:
+        starts.append(starts[-1] + stride)
+    return starts
+
+
+def extract_regions_tiled(
+    grid: np.ndarray,
+    tile: int = TILE_SIZE,
+    stride: int = TILE_STRIDE,
+    min_coverage: float = 0.0,
+    stats: dict | None = None,
+) -> list[dict]:
+    """Token regions via overlapped tiling; equals extract_regions for
+    payloads whose components fit the exactness contract above.
+
+    min_coverage: skip tiles whose foreground fraction is <= this
+    (0.0 = skip only all-background tiles, which is lossless; the
+    reference uses 0.10 as a lossy speed heuristic, detect.py:1358).
+    stats, if given, accrues {'n_tiles', 'n_tiles_skipped'}.
+    """
+    h, w = grid.shape
+    if h <= tile and w <= tile:
+        return extract_regions(grid)
+    seen: dict[tuple, dict] = {}
+    n_tiles = n_skipped = 0
+    for sy in tile_origins(h, tile, stride):
+        for sx in tile_origins(w, tile, stride):
+            sub = grid[sy : sy + tile, sx : sx + tile]
+            th, tw = sub.shape
+            n_tiles += 1
+            if (sub > BIN_THRESHOLD).mean() <= min_coverage:
+                n_skipped += 1
+                continue
+            for reg in extract_regions(sub):
+                y0, x0 = reg["ymin"], reg["xmin"]
+                y1 = y0 + reg["h"] - 1
+                x1 = x0 + reg["w"] - 1
+                # drop potentially-clipped regions: touching a tile edge
+                # is only allowed where that edge is the global edge
+                if not (
+                    (y0 > 0 or sy == 0)
+                    and (x0 > 0 or sx == 0)
+                    and (y1 < th - 1 or sy + th == h)
+                    and (x1 < tw - 1 or sx + tw == w)
+                ):
+                    continue
+                key = (sy + y0, sx + x0, reg["h"], reg["w"], reg["token"])
+                if key not in seen:
+                    seen[key] = {
+                        **reg,
+                        "ymin": sy + y0,
+                        "xmin": sx + x0,
+                        "cx": reg["cx"] + sx,
+                        "cy": reg["cy"] + sy,
+                    }
+    if stats is not None:
+        stats["n_tiles"] = stats.get("n_tiles", 0) + n_tiles
+        stats["n_tiles_skipped"] = stats.get("n_tiles_skipped", 0) + n_skipped
+    regions = list(seen.values())
+    regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
+    return regions
+
+
 def extract_line_segments(grid: np.ndarray) -> list[dict]:
     """Line segments (E2, the Hough-pass analogue): thin components
     (width or height <= 2 px) at least MIN_LINE_LEN long, as
@@ -406,8 +492,13 @@ def extract_media_records(
     media_ref: str,
     dedup: bool = True,
     deskew: bool = False,
+    stats: dict | None = None,
 ) -> list[dict]:
     """One media span -> N classified detection records.
+
+    Payloads larger than one tile go through the overlapped-tiling
+    segmentation (E3) so per-span memory is bounded by a tile, not the
+    payload; stats (optional dict) accrues tile counts for lineage.
 
     deskew: opt-in orientation correction (P4) for scanned/rotated
     corpora. Off by default: the synthetic fixture is axis-aligned and
@@ -419,7 +510,7 @@ def extract_media_records(
     if deskew:
         grid = deskew_grid(grid)
     out = []
-    for region_idx, reg in enumerate(extract_regions(grid)):
+    for region_idx, reg in enumerate(extract_regions_tiled(grid, stats=stats)):
         token = reg["token"]
         if len(token) < 1:
             continue  # blob with no glyphs (detect.py:366-368 length gate)
@@ -469,7 +560,9 @@ def media_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         yield pa.RecordBatch.from_pylist(buf, schema=DETECTIONS_ARROW)
 
 
-def span_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def span_batches(
+    batches: Iterator[pa.RecordBatch], tile_skip_acc=None, tile_acc=None
+) -> Iterator[pa.RecordBatch]:
     """Single-pass mapInArrow body over ALL spans.
 
     One scan of the docs table feeds one exchange and one Python stage
@@ -487,6 +580,7 @@ def span_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """
     import pyarrow.compute as pc
 
+    tile_stats: dict = {}
     buf: list[dict] = []
     for batch in batches:
         kind = batch.column("kind")
@@ -521,7 +615,7 @@ def span_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             media.column("offset").to_pylist(),
             media.column("media_ref").to_pylist(),
         ):
-            recs = extract_media_records(doc_id, offset, ref)
+            recs = extract_media_records(doc_id, offset, ref, stats=tile_stats)
             if not recs:
                 # a media span whose regions are all rejected must still
                 # keep its document alive through the re-zip (same
@@ -544,19 +638,30 @@ def span_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
                 buf = buf[OUTPUT_CHUNK_ROWS:]
     if buf:
         yield pa.RecordBatch.from_pylist(buf, schema=DETECTIONS_ARROW)
+    # per-partition tiling metrics flow back through accumulators
+    # (task-completion channel — no extra rows in the data path)
+    if tile_acc is not None:
+        tile_acc.add(tile_stats.get("n_tiles", 0))
+    if tile_skip_acc is not None:
+        tile_skip_acc.add(tile_stats.get("n_tiles_skipped", 0))
 
 
-def span_detections(spans_df):
+def span_detections(spans_df, tile_skip_acc=None, tile_acc=None):
     """DataFrame stage: ALL exploded spans -> detection rows in one
-    Python stage (see span_batches)."""
+    Python stage (see span_batches). Optional Spark accumulators
+    receive per-partition tiling counts for lineage metrics."""
     schema = (
         "doc_id string, offset int, region_idx int, token_idx int, "
         "kind string, text string, media_ref string, conf double, "
         "cx double, cy double, is_number boolean"
     )
+
+    def body(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        yield from span_batches(batches, tile_skip_acc, tile_acc)
+
     return spans_df.select(
         "doc_id", "kind", "text", "media_ref", "offset"
-    ).mapInArrow(span_batches, schema=schema)
+    ).mapInArrow(body, schema=schema)
 
 
 def media_detections(media_spans_df):

@@ -50,7 +50,12 @@ def explode_spans(docs: DataFrame, keep_empty_docs: bool = False) -> DataFrame:
     )
 
 
-def extract(docs: DataFrame, spread_spans: bool = True) -> DataFrame:
+def extract(
+    docs: DataFrame,
+    spread_spans: bool = True,
+    tile_skip_acc=None,
+    tile_acc=None,
+) -> DataFrame:
     """Full pipeline: docs -> extracted(doc_id, spans).
 
     spread_spans: repartition exploded spans on (doc_id, offset) before
@@ -59,6 +64,9 @@ def extract(docs: DataFrame, spread_spans: bool = True) -> DataFrame:
     and it decouples processing parallelism from input-split count.
     Disable only when the scan itself is already well-partitioned and
     skew-free.
+
+    tile_skip_acc / tile_acc: optional Spark accumulators that receive
+    the E3 tiling counts (tiles processed / skipped) for lineage.
     """
     spans = explode_spans(docs, keep_empty_docs=True)
     if spread_spans:
@@ -66,7 +74,7 @@ def extract(docs: DataFrame, spread_spans: bool = True) -> DataFrame:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         spans = spans.repartition(n, "doc_id", "offset")
 
-    rows = span_detections(spans)
+    rows = span_detections(spans, tile_skip_acc=tile_skip_acc, tile_acc=tile_acc)
     cleaned = rows.withColumn(
         "text",
         F.when(F.col("kind") == "text", strip_boilerplate(F.col("text"))).otherwise(

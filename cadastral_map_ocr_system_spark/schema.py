@@ -77,6 +77,11 @@ CHECKPOINT = T.StructType(
         T.StructField("n_spans", T.LongType()),
         T.StructField("n_regions", T.LongType()),
         T.StructField("n_output_rows", T.LongType()),
+        # E3 tiling metrics, accrued over the commit group this bucket
+        # was extracted in (accumulator granularity is the commit, so
+        # every bucket row of a group carries the group totals)
+        T.StructField("n_tiles", T.LongType()),
+        T.StructField("n_tiles_skipped", T.LongType()),
         T.StructField("wall_ms", T.LongType()),
         T.StructField("attempt", T.IntegerType()),
         T.StructField("committed_at", T.TimestampType()),

@@ -91,10 +91,15 @@ def run_extraction(
     )
     committed_ids = {r["partition_id"] for r in committed.collect()}
 
+    # E3 tiling lineage: accumulators collect per-task tile counts
+    tile_acc = spark.sparkContext.accumulator(0)
+    tile_skip_acc = spark.sparkContext.accumulator(0)
+
     commits_done = 0
     for lo in range(0, len(pending_buckets), buckets_per_commit):
         group = pending_buckets[lo : lo + buckets_per_commit]
         t0 = time.perf_counter()
+        tiles_before, skips_before = tile_acc.value, tile_skip_acc.value
         sub = pending_docs.filter(F.col("bucket").isin(group))
 
         in_stats = {
@@ -109,9 +114,9 @@ def run_extraction(
             .collect()
         }
 
-        result = extract(sub.drop("bucket")).withColumn(
-            "bucket", bucket_of(F.col("doc_id"), n_buckets)
-        )
+        result = extract(
+            sub.drop("bucket"), tile_skip_acc=tile_skip_acc, tile_acc=tile_acc
+        ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
         # dynamic partition overwrite: replaces exactly these buckets
         result.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 
@@ -127,6 +132,8 @@ def run_extraction(
             .collect()
         }
         wall_ms = int((time.perf_counter() - t0) * 1000)
+        n_tiles_group = tile_acc.value - tiles_before
+        n_skips_group = tile_skip_acc.value - skips_before
 
         lineage = [
             {
@@ -138,6 +145,8 @@ def run_extraction(
                 "n_spans": int(in_stats[b]["n_spans"] or 0) if b in in_stats else 0,
                 "n_regions": int(out_stats[b]["n_regions"] or 0) if b in out_stats else 0,
                 "n_output_rows": int(out_stats[b]["n_output_rows"]) if b in out_stats else 0,
+                "n_tiles": int(n_tiles_group),
+                "n_tiles_skipped": int(n_skips_group),
                 "wall_ms": wall_ms,
                 "attempt": 1,
             }
@@ -150,7 +159,8 @@ def run_extraction(
                 lineage,
                 schema="run_id string, partition_id int, doc_id_min string, "
                 "doc_id_max string, n_docs long, n_spans long, n_regions long, "
-                "n_output_rows long, wall_ms long, attempt int",
+                "n_output_rows long, n_tiles long, n_tiles_skipped long, "
+                "wall_ms long, attempt int",
             )
             .withColumn("committed_at", F.current_timestamp())
             .select([f.name for f in CHECKPOINT.fields])

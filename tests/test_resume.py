@@ -61,10 +61,13 @@ def test_resume_idempotent(spark, tmp_path):
 
     # lineage metrics add up
     totals = ck2.agg(
-        F.sum("n_docs").alias("d"), F.sum("n_output_rows").alias("o")
+        F.sum("n_docs").alias("d"), F.sum("n_output_rows").alias("o"),
+        F.sum("n_tiles").alias("t"),
     ).first()
     assert totals["d"] == N_DOCS
     assert totals["o"] == N_DOCS  # one output row per doc
+    # E3 tiling lineage: skew docs (media://big payloads) were tiled
+    assert totals["t"] > 0
 
 
 def test_rerun_after_success_is_noop(spark, tmp_path):

@@ -344,45 +344,135 @@ def extract_regions_tiled(
     return regions
 
 
+MAX_LINE_THICKNESS = 2.5  # max extent perpendicular to the principal axis
+
+
+def _line_geometry(c: dict) -> dict | None:
+    """Arbitrary-angle line geometry of one component from its runs
+    (E2, the Hough-pass analogue generalized beyond 0/90 degrees):
+    principal axis via exact integer second moments, then project run
+    endpoints onto the axis — a component is a line iff its extent
+    perpendicular to the axis is <= MAX_LINE_THICKNESS px and its
+    extent along the axis is >= MIN_LINE_LEN px.
+
+    Endpoints are the actual extreme pixels along the axis (ties broken
+    by smallest (y, x)), ordered so (y1,x1) <= (y2,x2); angle is
+    degrees(atan2(y2-y1, x2-x1)) folded into [0, 180) — the reference's
+    line convention (symbol_detector.py:253-254)."""
+    import math
+
+    def s2(k: int) -> int:  # sum of j^2 for j in [0, k]
+        return k * (k + 1) * (2 * k + 1) // 6
+
+    n = sx = sy = sxx = syy = sxy = 0
+    for y, x0, x1 in c["runs"]:
+        m = x1 - x0
+        # exact integer sums over the run (moments stay integers until
+        # the final divisions, so oracle and pipeline agree bit-for-bit)
+        rsx = m * (x0 + x1 - 1) // 2
+        rsxx = s2(x1 - 1) - s2(x0 - 1)
+        n += m
+        sx += rsx
+        sy += y * m
+        sxx += rsxx
+        syy += y * y * m
+        sxy += y * rsx
+    if n == 0:
+        return None
+    mx, my = sx / n, sy / n
+    cxx = sxx / n - mx * mx
+    cyy = syy / n - my * my
+    cxy = sxy / n - mx * my
+    theta = 0.5 * math.atan2(2 * cxy, cxx - cyy)
+    ct, st = math.cos(theta), math.sin(theta)
+
+    umin = vmin = float("inf")
+    umax = vmax = float("-inf")
+    pmin = pmax = None
+    for y, x0, x1 in c["runs"]:
+        for x in (x0, x1 - 1):  # u and v are linear in x: extremes at ends
+            u = (x - mx) * ct + (y - my) * st
+            v = -(x - mx) * st + (y - my) * ct
+            vmin, vmax = min(vmin, v), max(vmax, v)
+            if u < umin or (u == umin and (y, x) < pmin):
+                umin, pmin = u, (y, x)
+            if u > umax or (u == umax and (y, x) < pmax):
+                umax, pmax = u, (y, x)
+    if (vmax - vmin + 1) > MAX_LINE_THICKNESS:
+        return None
+    length = umax - umin + 1
+    if length < MIN_LINE_LEN:
+        return None
+    p1, p2 = sorted([pmin, pmax])
+    angle = math.degrees(math.atan2(p2[0] - p1[0], p2[1] - p1[1])) % 180.0
+    return {
+        "x1": p1[1], "y1": p1[0], "x2": p2[1], "y2": p2[0],
+        "length": float(length), "angle": angle,
+    }
+
+
 def extract_line_segments(grid: np.ndarray) -> list[dict]:
-    """Line segments (E2, the Hough-pass analogue): thin components
-    (width or height <= 2 px) at least MIN_LINE_LEN long, as
-    (x1,y1)->(x2,y2) with length and axis angle — the reference's
-    transport-line rows (symbol_detector.py:215-245, angle/length at
-    253-254). Sorted by (ymin, xmin)."""
+    """Line segments (E2): thin elongated components at ANY angle as
+    (x1,y1)->(x2,y2) rows with length and angle in [0,180) — the
+    reference's transport-line rows (symbol_detector.py:215-245,
+    preprocess.py:66-112 arbitrary-angle Hough). Sorted by (y1, x1)."""
     lines = []
     for c in _components(grid):
-        h = c["ymax"] - c["ymin"] + 1
-        w = c["xmax"] - c["xmin"]
-        if h <= 2 and w >= MIN_LINE_LEN:
-            lines.append(
-                {
-                    "x1": c["xmin"], "y1": c["ymin"],
-                    "x2": c["xmax"] - 1, "y2": c["ymin"],
-                    "length": float(w), "angle": 0.0,
-                }
-            )
-        elif w <= 2 and h >= MIN_LINE_LEN:
-            lines.append(
-                {
-                    "x1": c["xmin"], "y1": c["ymin"],
-                    "x2": c["xmin"], "y2": c["ymax"],
-                    "length": float(h), "angle": 90.0,
-                }
-            )
+        g = _line_geometry(c)
+        if g is not None:
+            lines.append(g)
     lines.sort(key=lambda r: (r["y1"], r["x1"]))
     return lines
 
 
+def merge_line_segments(
+    lines: list[dict], angle_tol: float = 5.0, dist_tol: float = 10.0
+) -> list[dict]:
+    """W5 line grouping/merge (comprehensive_detector.py:193-231,
+    symbol_detector.py:246-287): greedily group segments whose angle is
+    within angle_tol of the group's FIRST member (circular, mod 180)
+    and whose midpoint is within dist_tol of that member's midpoint;
+    each group collapses to its longest member (first-come wins ties —
+    the reference pops an existing line only when strictly shorter),
+    annotated with n_merged. Input order (sorted by (y1,x1)) makes the
+    greedy pass deterministic."""
+    groups: list[list[dict]] = []
+    for ln in lines:
+        mid = ((ln["x1"] + ln["x2"]) / 2.0, (ln["y1"] + ln["y2"]) / 2.0)
+        for g in groups:
+            f = g[0]
+            da = abs(ln["angle"] - f["angle"])
+            da = min(da, 180.0 - da)
+            fmid = ((f["x1"] + f["x2"]) / 2.0, (f["y1"] + f["y2"]) / 2.0)
+            dist = ((mid[0] - fmid[0]) ** 2 + (mid[1] - fmid[1]) ** 2) ** 0.5
+            if da < angle_tol and dist < dist_tol:
+                g.append(ln)
+                break
+        else:
+            groups.append([ln])
+    merged = []
+    for g in groups:
+        best = g[0]
+        for ln in g[1:]:
+            if ln["length"] > best["length"]:
+                best = ln
+        merged.append({**best, "n_merged": len(g)})
+    merged.sort(key=lambda r: (r["y1"], r["x1"]))
+    return merged
+
+
 LINE_SCHEMA = (
     "doc_id string, offset int, line_idx int, media_ref string, "
-    "x1 int, y1 int, x2 int, y2 int, length double, angle double"
+    "x1 int, y1 int, x2 int, y2 int, length double, angle double, "
+    "n_merged int"
 )
 
 
-def line_features(media_spans_df):
+def line_features(media_spans_df, merge: bool = True):
     """DataFrame stage: exploded media spans -> line-segment rows
-    (1->N mapInArrow, same shape as the token path)."""
+    (1->N mapInArrow, same shape as the token path). merge=True applies
+    the W5 group/merge within each payload (n_merged counts members);
+    merge=False emits raw segments with n_merged=1."""
     import pyarrow as _pa
 
     schema_arrow = pa.schema(
@@ -397,6 +487,7 @@ def line_features(media_spans_df):
             pa.field("y2", pa.int32()),
             pa.field("length", pa.float64()),
             pa.field("angle", pa.float64()),
+            pa.field("n_merged", pa.int32()),
         ]
     )
 
@@ -409,7 +500,12 @@ def line_features(media_spans_df):
                 batch.column("media_ref").to_pylist(),
             ):
                 grid = decode_payload(_resolve_payload(ref))
-                for i, ln in enumerate(extract_line_segments(grid)):
+                segs = extract_line_segments(grid)
+                if merge:
+                    segs = merge_line_segments(segs)
+                else:
+                    segs = [{**ln, "n_merged": 1} for ln in segs]
+                for i, ln in enumerate(segs):
                     buf.append(
                         {"doc_id": doc_id, "offset": offset, "line_idx": i,
                          "media_ref": ref, **ln}

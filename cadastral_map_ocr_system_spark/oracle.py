@@ -85,26 +85,85 @@ def _flood_regions(grid) -> list[dict]:
 
 
 def line_segments(grid) -> list[dict]:
-    """Independent mirror of mediapath.extract_line_segments: thin
-    (<=2 px) components at least 15 px long, as axis-aligned segments."""
+    """Independent mirror of mediapath.extract_line_segments: principal
+    axis from per-pixel integer moments (the pipeline uses run-length
+    closed forms — sums are identical integers, so the derived floats
+    agree bit-for-bit), thin/long gates, extreme-pixel endpoints,
+    angle in [0, 180)."""
+    import math
+
     lines = []
     for pixels in _flood_components(grid):
-        ys = [p[0] for p in pixels]
-        xs = [p[1] for p in pixels]
-        h = max(ys) - min(ys) + 1
-        w = max(xs) - min(xs) + 1
-        if h <= 2 and w >= 15:
-            lines.append(
-                {"x1": min(xs), "y1": min(ys), "x2": max(xs), "y2": min(ys),
-                 "length": float(w), "angle": 0.0}
-            )
-        elif w <= 2 and h >= 15:
-            lines.append(
-                {"x1": min(xs), "y1": min(ys), "x2": min(xs), "y2": max(ys),
-                 "length": float(h), "angle": 90.0}
-            )
+        n = len(pixels)
+        sx = sum(x for _, x in pixels)
+        sy = sum(y for y, _ in pixels)
+        sxx = sum(x * x for _, x in pixels)
+        syy = sum(y * y for y, _ in pixels)
+        sxy = sum(y * x for y, x in pixels)
+        mx, my = sx / n, sy / n
+        cxx = sxx / n - mx * mx
+        cyy = syy / n - my * my
+        cxy = sxy / n - mx * my
+        theta = 0.5 * math.atan2(2 * cxy, cxx - cyy)
+        ct, st = math.cos(theta), math.sin(theta)
+        umin = vmin = float("inf")
+        umax = vmax = float("-inf")
+        pmin = pmax = None
+        for y, x in sorted(pixels):
+            u = (x - mx) * ct + (y - my) * st
+            v = -(x - mx) * st + (y - my) * ct
+            vmin, vmax = min(vmin, v), max(vmax, v)
+            if u < umin:
+                umin, pmin = u, (y, x)
+            if u > umax:
+                umax, pmax = u, (y, x)
+        if (vmax - vmin + 1) > 2.5:
+            continue
+        length = umax - umin + 1
+        if length < 15:
+            continue
+        p1, p2 = sorted([pmin, pmax])
+        angle = math.degrees(math.atan2(p2[0] - p1[0], p2[1] - p1[1])) % 180.0
+        lines.append(
+            {"x1": p1[1], "y1": p1[0], "x2": p2[1], "y2": p2[0],
+             "length": float(length), "angle": angle}
+        )
     lines.sort(key=lambda r: (r["y1"], r["x1"]))
     return lines
+
+
+def merged_line_segments(grid) -> list[dict]:
+    """Mirror of mediapath.merge_line_segments over this oracle's
+    segments: greedy grouping vs each group's first member (angle
+    within 5 deg circular, midpoints within 10 px), longest member
+    wins (first-come on ties)."""
+    groups: list[list[dict]] = []
+    for ln in line_segments(grid):
+        mid = ((ln["x1"] + ln["x2"]) / 2.0, (ln["y1"] + ln["y2"]) / 2.0)
+        placed = False
+        for g in groups:
+            f = g[0]
+            da = abs(ln["angle"] - f["angle"])
+            da = min(da, 180.0 - da)
+            fmid = ((f["x1"] + f["x2"]) / 2.0, (f["y1"] + f["y2"]) / 2.0)
+            if (
+                da < 5.0
+                and ((mid[0] - fmid[0]) ** 2 + (mid[1] - fmid[1]) ** 2) ** 0.5 < 10.0
+            ):
+                g.append(ln)
+                placed = True
+                break
+        if not placed:
+            groups.append([ln])
+    out = []
+    for g in groups:
+        best = g[0]
+        for ln in g[1:]:
+            if ln["length"] > best["length"]:
+                best = ln
+        out.append({**best, "n_merged": len(g)})
+    out.sort(key=lambda r: (r["y1"], r["x1"]))
+    return out
 
 
 def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:

@@ -499,9 +499,23 @@ JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash fingerprints (rows-only check: 32-bit integer bit
-    arithmetic is not portably expressible in the oracle dialect)."""
     return corpus_dedup.simhash(load(spark, sf, "documents"), bits=32)
+
+
+_B = 32
+SQL_SIMHASH = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(_B))}
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(_B))} AS BIGINT) AS simhash
+FROM bits
+"""
 
 
 # --------------------------------------------------------------- similarity
@@ -672,49 +686,77 @@ ON p_name LIKE pattern
 """
 
 
-def q_media_line_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """A1 aggregate over the line-feature path (rows-only: the segment
-    extraction is mapInArrow; pytest checks kernel parity with the
-    oracle): per-document transport-line count + total length."""
+# The media/eval aggregates below are hash-verified by MATERIALIZING the
+# non-SQL-expressible stage (mapInArrow line extraction, cogrouped greedy
+# IoU matching) to parquet, then aggregating those identical rows in BOTH
+# engines: Spark reads the parquet back, the DuckDB oracle reads it via
+# read_parquet. The driver runs the Spark callable first, so the file is
+# in place when the SQL runs.
+_MATERIALIZE_DIR = "/tmp/spark_graft_oracle"
+
+
+def _materialize_line_features(spark: SparkSession) -> str:
     from .. import synth
     from ..operators.mediapath import line_features
     from .pipeline import explode_spans
 
+    path = f"{_MATERIALIZE_DIR}/line_features.parquet"
     docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
     media = explode_spans(docs).filter(F.col("kind") == "media")
-    return (
-        line_features(media)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_lines"),
-            F.round(F.sum("length"), 2).alias("total_length"),
-        )
+    line_features(media).write.mode("overwrite").parquet(path)
+    return path
+
+
+def q_media_line_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 aggregate over the line-feature path (E2+W5): per-document
+    merged-line count, member count, total length."""
+    lf = spark.read.parquet(_materialize_line_features(spark))
+    return lf.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("n_merged").cast("long").alias("n_segments"),
+        F.round(F.sum("length"), 2).alias("total_length"),
     )
 
 
-def q_line_angle_histogram(spark: SparkSession, sf: str) -> DataFrame:
-    """A6 binned histogram + A8 percentiles over line features
-    (rows-only)."""
-    from .. import synth
-    from ..operators.mediapath import line_features
-    from .pipeline import explode_spans
+SQL_MEDIA_LINE_STATS = f"""
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(n_merged) AS BIGINT) AS n_segments,
+       round(SUM(length), 2) AS total_length
+FROM read_parquet('{_MATERIALIZE_DIR}/line_features.parquet/*.parquet')
+GROUP BY doc_id
+"""
 
-    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
-    media = explode_spans(docs).filter(F.col("kind") == "media")
-    lf = line_features(media)
+
+def q_line_angle_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 binned histogram + A8 percentiles over line features."""
+    lf = spark.read.parquet(_materialize_line_features(spark))
     pct = F.percentile("length", F.lit([0.1, 0.9]))
-    return lf.groupBy(F.floor(F.col("angle") / 30).cast("int").alias("angle_bin")).agg(
+    return lf.groupBy(
+        F.floor(F.col("angle") / 30).cast("int").alias("angle_bin")
+    ).agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.element_at(pct, 1), 4).alias("len_p10"),
         F.round(F.element_at(pct, 2), 4).alias("len_p90"),
     )
 
 
+SQL_LINE_ANGLE_HISTOGRAM = f"""
+SELECT CAST(floor(angle / 30) AS INT) AS angle_bin,
+       COUNT(*) AS n,
+       round(quantile_cont(length, 0.1), 4) AS len_p10,
+       round(quantile_cont(length, 0.9), 4) AS len_p90
+FROM read_parquet('{_MATERIALIZE_DIR}/line_features.parquet/*.parquet')
+GROUP BY 1
+"""
+
+
 def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """J2+A11: greedy IoU matching of detections vs ground truth via a
-    cogrouped map, then precision/recall/F1 (rows-only: greedy matching
-    is order-dependent). GT = all extracted regions; detections = the
-    even-indexed ones -> recall 0.5-ish, precision 1.0."""
+    cogrouped map, then precision/recall/F1. GT = all extracted regions;
+    detections = the even-indexed ones -> recall 0.5-ish, precision 1.0.
+    The order-dependent greedy match rows are materialized; the metric
+    arithmetic is verified against DuckDB over those rows."""
     from .. import synth
     from ..operators.evaluation import evaluation_metrics, greedy_iou_match
     from ..operators.mediapath import media_detections
@@ -735,7 +777,33 @@ def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
     gt = det_all.drop("conf")
     det = det_all.filter(F.col("idx") % 2 == 0)
-    return evaluation_metrics(greedy_iou_match(det, gt))
+    path = f"{_MATERIALIZE_DIR}/iou_matches.parquet"
+    greedy_iou_match(det, gt).write.mode("overwrite").parquet(path)
+    return evaluation_metrics(spark.read.parquet(path))
+
+
+SQL_EVALUATION_METRICS = f"""
+WITH agg AS (
+  SELECT category,
+         CAST(SUM(CASE WHEN outcome = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN outcome = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN outcome = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         round(AVG(iou), 6) AS mean_iou
+  FROM read_parquet('{_MATERIALIZE_DIR}/iou_matches.parquet/*.parquet')
+  GROUP BY category),
+p AS (
+  SELECT *,
+         tp / greatest(tp + fp, 1) AS precision_raw,
+         tp / greatest(tp + fn, 1) AS recall_raw
+  FROM agg)
+SELECT category, tp, fp, fn,
+       round(precision_raw, 6) AS precision,
+       round(recall_raw, 6) AS recall,
+       round(2 * precision_raw * recall_raw
+             / greatest(precision_raw + recall_raw, 1e-9), 6) AS f1,
+       mean_iou
+FROM p
+"""
 
 
 # ------------------------------------------------------------------ registry
@@ -760,7 +828,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
@@ -768,7 +836,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "greedy_dedup": (q_greedy_dedup, None),
     "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
     "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),
-    "media_line_stats": (q_media_line_stats, None),
-    "line_angle_histogram": (q_line_angle_histogram, None),
-    "evaluation_metrics": (q_evaluation_metrics, None),
+    "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
+    "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
+    "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),
 }

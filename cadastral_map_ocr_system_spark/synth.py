@@ -101,18 +101,34 @@ def media_payload(media_ref: str) -> bytes:
         y0, x0 = r * cell_h + 3, c * cell_w + 3
         side = rng.randint(2, 6)  # area 4..36 < MIN_AREA
         grid[y0 : y0 + side, x0 : x0 + side] = FILL
-    # 1-px line strokes ("transport lines") in further unused cells;
-    # they decode no token, so span outputs are unaffected — they feed
-    # the line-feature path (operators/mediapath.extract_line_segments)
+    # thin line strokes ("transport lines") in further unused cells;
+    # all are sub-MIN_AREA (max ~36 px), so span outputs are unaffected
+    # — they feed the line path (mediapath.extract_line_segments):
+    # horizontal / vertical / 45-degree staircase diagonals, sometimes
+    # doubled with a close parallel companion (exercises the W5 merge)
     for lidx in range(idx + 1, min(idx + 1 + rng.randint(0, 3), len(cells))):
         r, c = cells[lidx]
         y0, x0 = r * cell_h + 2, c * cell_w + 2
-        if rng.random() < 0.5:  # horizontal, len 16..28
+        u = rng.random()
+        if u < 0.30:  # horizontal, len 16..28
             ln = rng.randint(16, cell_w - 4)
-            grid[y0 + rng.randint(0, cell_h - 6), x0 : x0 + ln] = FILL
-        else:  # vertical, len 16..20
+            yy = y0 + rng.randint(0, cell_h - 10)
+            grid[yy, x0 : x0 + ln] = FILL
+            if rng.random() < 0.5:  # parallel companion 3 px below
+                grid[yy + 3, x0 : x0 + rng.randint(15, ln)] = FILL
+        elif u < 0.55:  # vertical, len 16..20
             ln = rng.randint(16, cell_h - 4)
-            grid[y0 : y0 + ln, x0 + rng.randint(0, cell_w - 6)] = FILL
+            xx = x0 + rng.randint(0, cell_w - 10)
+            grid[y0 : y0 + ln, xx] = FILL
+            if rng.random() < 0.3:
+                grid[y0 : y0 + rng.randint(15, ln), xx + 3] = FILL
+        else:  # 45-degree staircase (2 px per row, corners shared so
+            # the stroke is one 4-connected component)
+            d = rng.randint(12, min(cell_h, cell_w) - 6)
+            down = rng.random() < 0.5
+            for t in range(d):
+                yy = y0 + t if down else y0 + d - 1 - t
+                grid[yy, x0 + t : x0 + t + 2] = FILL
     for _ in range(rng.randint(0, 4)):
         y, x = rng.randrange(h), rng.randrange(w)
         if grid[y, x] == 0 and not (grid[max(y-1,0):y+2, max(x-1,0):x+2] > 0).any():

@@ -166,6 +166,40 @@ def merged_line_segments(grid) -> list[dict]:
     return out
 
 
+def template_matches(grid) -> list[dict]:
+    """Independent mirror of templatematch.match_components: flood-fill
+    candidates, set-of-pixels masks, plain-loop NN template resize."""
+    from .templates import MATCH_THRESHOLD, TEMPLATES
+
+    out = []
+    for pixels in _flood_components(grid):
+        ys = [p[0] for p in pixels]
+        xs = [p[1] for p in pixels]
+        ymin, xmin = min(ys), min(xs)
+        h = max(ys) - ymin + 1
+        w = max(xs) - xmin + 1
+        if len(pixels) < 30 or not (6 <= h <= 20 and 6 <= w <= 20):
+            continue
+        pset = {(y - ymin, x - xmin) for y, x in pixels}
+        for name in sorted(TEMPLATES):
+            t = TEMPLATES[name]
+            th, tw = t.shape
+            agree = 0
+            for i in range(h):
+                si = round(i * (th - 1) / max(h - 1, 1))
+                for j in range(w):
+                    sj = round(j * (tw - 1) / max(w - 1, 1))
+                    agree += bool(t[si, sj]) == ((i, j) in pset)
+            score = agree / (h * w)
+            if score >= MATCH_THRESHOLD:
+                out.append(
+                    {"template": name, "x": xmin, "y": ymin, "w": w, "h": h,
+                     "scale": round(h / th, 4), "score": round(score, 6)}
+                )
+    out.sort(key=lambda r: (r["y"], r["x"], r["template"]))
+    return out
+
+
 def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:
     grid = decode_payload(media_payload(ref)).astype(int)
     out = []

@@ -751,6 +751,41 @@ GROUP BY 1
 """
 
 
+def q_template_match(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 media-side template matching: broadcast glyph set matched
+    against every media payload inside mapInArrow
+    (operators/templatematch.py), aggregated per template. The match
+    rows are materialized; both engines aggregate the identical rows."""
+    from .. import synth
+    from ..operators.templatematch import template_match_features
+    from .pipeline import explode_spans
+
+    path = f"{_MATERIALIZE_DIR}/template_matches.parquet"
+    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    media = explode_spans(docs).filter(F.col("kind") == "media")
+    template_match_features(media).write.mode("overwrite").parquet(path)
+    tmm = spark.read.parquet(path)
+    return tmm.groupBy("template").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg("scale"), 4).alias("avg_scale"),
+        F.sum(F.col("w") * F.col("h")).cast("long").alias("total_area"),
+    )
+
+
+SQL_TEMPLATE_MATCH = f"""
+SELECT template,
+       COUNT(*) AS n_matches,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       round(AVG(score), 6) AS avg_score,
+       round(AVG(scale), 4) AS avg_scale,
+       CAST(SUM(w * h) AS BIGINT) AS total_area
+FROM read_parquet('{_MATERIALIZE_DIR}/template_matches.parquet/*.parquet')
+GROUP BY template
+"""
+
+
 def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """J2+A11: greedy IoU matching of detections vs ground truth via a
     cogrouped map, then precision/recall/F1. GT = all extracted regions;
@@ -836,6 +871,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "greedy_dedup": (q_greedy_dedup, None),
     "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
     "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),
+    "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
     "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),

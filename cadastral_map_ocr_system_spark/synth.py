@@ -95,9 +95,11 @@ def media_payload(media_ref: str) -> bytes:
         grid[y0 + 1, x0 + 1 : x0 + 1 + len(tb)] = np.frombuffer(tb, dtype=np.uint8)
 
     # sub-min-area noise blobs + speckles in unused cells
-    idx = n_regions
-    for idx in range(n_regions, min(n_regions + rng.randint(1, 3), len(cells))):
-        r, c = cells[idx]
+    cursor = n_regions
+    end = min(cursor + rng.randint(1, 3), len(cells))
+    while cursor < end:
+        r, c = cells[cursor]
+        cursor += 1
         y0, x0 = r * cell_h + 3, c * cell_w + 3
         side = rng.randint(2, 6)  # area 4..36 < MIN_AREA
         grid[y0 : y0 + side, x0 : x0 + side] = FILL
@@ -106,8 +108,10 @@ def media_payload(media_ref: str) -> bytes:
     # — they feed the line path (mediapath.extract_line_segments):
     # horizontal / vertical / 45-degree staircase diagonals, sometimes
     # doubled with a close parallel companion (exercises the W5 merge)
-    for lidx in range(idx + 1, min(idx + 1 + rng.randint(0, 3), len(cells))):
-        r, c = cells[lidx]
+    end = min(cursor + rng.randint(0, 3), len(cells))
+    while cursor < end:
+        r, c = cells[cursor]
+        cursor += 1
         y0, x0 = r * cell_h + 2, c * cell_w + 2
         u = rng.random()
         if u < 0.30:  # horizontal, len 16..28
@@ -129,6 +133,21 @@ def media_payload(media_ref: str) -> bytes:
             for t in range(d):
                 yy = y0 + t if down else y0 + d - 1 - t
                 grid[yy, x0 + t : x0 + t + 2] = FILL
+    # stamped map symbols (J1 fixtures): scaled instances of the glyph
+    # template set, like the reference's datasets/symbols sheet. They
+    # decode no token (FILL-only), so the token path skips them; the
+    # template-match operator is what finds them.
+    from .templates import scaled_template
+
+    end = min(cursor + rng.randint(0, 2), len(cells))
+    while cursor < end:
+        r, c = cells[cursor]
+        cursor += 1
+        name = rng.choice(["settlement", "temple", "well"])
+        mask = scaled_template(name, rng.choice([0.75, 1.0, 1.25]))
+        mh, mw = mask.shape
+        y0, x0 = r * cell_h + 3, c * cell_w + 3
+        grid[y0 : y0 + mh, x0 : x0 + mw][mask] = FILL
     for _ in range(rng.randint(0, 4)):
         y, x = rng.randrange(h), rng.randrange(w)
         if grid[y, x] == 0 and not (grid[max(y-1,0):y+2, max(x-1,0):x+2] > 0).any():

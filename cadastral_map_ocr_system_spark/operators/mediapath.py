@@ -73,14 +73,16 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
-def _components(grid: np.ndarray) -> list[dict]:
+def _components(grid: np.ndarray, mask: np.ndarray | None = None) -> list[dict]:
     """Binarize -> 4-connected components via run-length union-find.
 
     Returns raw components (bbox, area, runs) with no filtering — the
     shared segmentation primitive behind token regions (extract_regions)
-    and line segments (extract_line_segments).
+    and line segments (extract_line_segments). An explicit mask (e.g.
+    morph-opened) overrides the default binarization.
     """
-    mask = grid > BIN_THRESHOLD
+    if mask is None:
+        mask = grid > BIN_THRESHOLD
     sy, sx, ex = _row_runs(mask)
     n = len(sy)
     if n == 0:
@@ -225,7 +227,7 @@ def deskew_grid(grid: np.ndarray) -> np.ndarray:
     return rotate_grid(grid, -angle)
 
 
-def extract_regions(grid: np.ndarray) -> list[dict]:
+def extract_regions(grid: np.ndarray, open_mask: bool = False) -> list[dict]:
     """Token regions: min-area filter -> token decode (E1+E4).
 
     Regions sorted by (ymin, xmin), each with bbox, area, center, and
@@ -233,9 +235,18 @@ def extract_regions(grid: np.ndarray) -> list[dict]:
     are token bytes). Components are pixel-disjoint by construction, so
     no post-hoc overlap suppression is needed here (NMS is exposed
     separately in operators/nms.py for overlapping detector outputs).
+
+    open_mask: apply the P3 morph-open cleanup to the binarized mask
+    first (identity on solid >=3x3 regions; removes 1-px scratches and
+    speckles on degraded payloads).
     """
+    mask = grid > BIN_THRESHOLD
+    if open_mask:
+        from .normalize import morph_open
+
+        mask = morph_open(mask)
     regions = []
-    for c in _components(grid):
+    for c in _components(grid, mask):
         if c["area"] < MIN_AREA:
             continue  # min-area noise filter (symbol_detector.py:148,207)
         token_bytes = []
@@ -286,12 +297,18 @@ def tile_origins(n: int, tile: int = TILE_SIZE, stride: int = TILE_STRIDE) -> li
     return starts
 
 
+TILE_EDGE_MARGIN = 2  # keep regions >= this far from non-global tile edges
+# (margin 2, not 1: the per-tile morph-open has radius-1 context, so a
+# region this far inside a tile opens identically to the global frame)
+
+
 def extract_regions_tiled(
     grid: np.ndarray,
     tile: int = TILE_SIZE,
     stride: int = TILE_STRIDE,
     min_coverage: float = 0.0,
     stats: dict | None = None,
+    open_mask: bool = False,
 ) -> list[dict]:
     """Token regions via overlapped tiling; equals extract_regions for
     payloads whose components fit the exactness contract above.
@@ -303,9 +320,10 @@ def extract_regions_tiled(
     """
     h, w = grid.shape
     if h <= tile and w <= tile:
-        return extract_regions(grid)
+        return extract_regions(grid, open_mask=open_mask)
     seen: dict[tuple, dict] = {}
     n_tiles = n_skipped = 0
+    m = TILE_EDGE_MARGIN
     for sy in tile_origins(h, tile, stride):
         for sx in tile_origins(w, tile, stride):
             sub = grid[sy : sy + tile, sx : sx + tile]
@@ -314,17 +332,18 @@ def extract_regions_tiled(
             if (sub > BIN_THRESHOLD).mean() <= min_coverage:
                 n_skipped += 1
                 continue
-            for reg in extract_regions(sub):
+            for reg in extract_regions(sub, open_mask=open_mask):
                 y0, x0 = reg["ymin"], reg["xmin"]
                 y1 = y0 + reg["h"] - 1
                 x1 = x0 + reg["w"] - 1
-                # drop potentially-clipped regions: touching a tile edge
-                # is only allowed where that edge is the global edge
+                # drop potentially-clipped regions: closer than the
+                # margin to a tile edge is only allowed where that edge
+                # is the global edge
                 if not (
-                    (y0 > 0 or sy == 0)
-                    and (x0 > 0 or sx == 0)
-                    and (y1 < th - 1 or sy + th == h)
-                    and (x1 < tw - 1 or sx + tw == w)
+                    (y0 >= m or sy == 0)
+                    and (x0 >= m or sx == 0)
+                    and (y1 < th - m or sy + th == h)
+                    and (x1 < tw - m or sx + tw == w)
                 ):
                     continue
                 key = (sy + y0, sx + x0, reg["h"], reg["w"], reg["token"])
@@ -415,7 +434,12 @@ def extract_line_segments(grid: np.ndarray) -> list[dict]:
     """Line segments (E2): thin elongated components at ANY angle as
     (x1,y1)->(x2,y2) rows with length and angle in [0,180) — the
     reference's transport-line rows (symbol_detector.py:215-245,
-    preprocess.py:66-112 arbitrary-angle Hough). Sorted by (y1, x1)."""
+    preprocess.py:66-112 arbitrary-angle Hough). Sorted by (y1, x1).
+    Negative scans are re-inverted first; NO morph-open here (it would
+    erase the 1-px lines this path exists to find)."""
+    from .normalize import invert_if_negative
+
+    grid = invert_if_negative(grid)
     lines = []
     for c in _components(grid):
         g = _line_geometry(c)
@@ -602,11 +626,15 @@ def extract_media_records(
     reorder token pixels (observed: a borderline 0.6-degree estimate
     scrambled one token), so the golden-invariant path never rotates.
     """
-    grid = decode_payload(_resolve_payload(media_ref))
+    from .normalize import invert_if_negative
+
+    grid = invert_if_negative(decode_payload(_resolve_payload(media_ref)))
     if deskew:
         grid = deskew_grid(grid)
     out = []
-    for region_idx, reg in enumerate(extract_regions_tiled(grid, stats=stats)):
+    for region_idx, reg in enumerate(
+        extract_regions_tiled(grid, stats=stats, open_mask=True)
+    ):
         token = reg["token"]
         if len(token) < 1:
             continue  # blob with no glyphs (detect.py:366-368 length gate)

@@ -1,0 +1,93 @@
+"""P1-P3 payload normalization: the pre-binarization stage.
+
+Mirrors the reference's preprocessing chain with deterministic numpy
+kernels (no cv2 in this container):
+
+  P1 resize cap       _resize_if_needed, OCR/src/detect.py:95-106
+  P2 enhance          contrast normalization stand-in for
+                      bilateral+CLAHE (preprocess.py:12-37) — linear
+                      min-max stretch + negative-scan inversion
+                      (cv2 pipelines flip polarity with THRESH_BINARY_INV)
+  P3 morph cleanup    3x3 binary opening after binarization
+                      (comprehensive_detector.py:75-78 MORPH_OPEN)
+
+All kernels are pure functions of the pixel array, exactly mirrored by
+the single-process oracle, so the golden invariant covers degraded
+fixtures (inverted scans with attached 1-px scratches) end to end.
+Opening is IDENTITY on clean fixtures: every token region is a solid
+rectangle >= 3x3 (a union of 3x3 translates), so the always-on cleanup
+costs nothing on well-formed payloads and removes scratches/speckles on
+degraded ones.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RESIZE_CAP = 3000  # reference MAX_IMAGE_SIZE analogue (detect.py:48)
+
+
+def invert_if_negative(grid: np.ndarray) -> np.ndarray:
+    """Re-invert negative scans: when more than half the pixels are
+    bright (>127), the payload is a polarity-flipped scan — invert so
+    ink is bright on dark, the binarization convention. Exact
+    involution: invert(invert(g)) == g."""
+    if int((grid > 127).sum()) * 2 > grid.size:
+        return (255 - grid).astype(grid.dtype)
+    return grid
+
+
+def contrast_stretch(grid: np.ndarray) -> np.ndarray:
+    """Linear min-max stretch to the full 0..255 range (the global
+    contrast-normalization analogue of CLAHE, preprocess.py:27-31).
+    Identity on payloads already spanning the full range."""
+    lo, hi = int(grid.min()), int(grid.max())
+    if hi == lo:
+        return grid
+    out = np.rint((grid.astype(np.float64) - lo) * (255.0 / (hi - lo)))
+    return out.astype(np.uint8)
+
+
+def resize_cap(grid: np.ndarray, max_dim: int = RESIZE_CAP) -> np.ndarray:
+    """Cap the longest edge at max_dim, preserving aspect ratio
+    (detect.py:95-106), via endpoint-preserving NN decimation.
+    NOTE: lossy for byte-glyph fixtures (decimation drops token
+    pixels), so the golden path leaves it off; it is the guard for
+    oversized real-world scans ahead of tiling."""
+    h, w = grid.shape
+    m = max(h, w)
+    if m <= max_dim:
+        return grid
+    scale = max_dim / m
+    nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+    ii = np.rint(np.arange(nh) * (h - 1) / max(nh - 1, 1)).astype(int)
+    jj = np.rint(np.arange(nw) * (w - 1) / max(nw - 1, 1)).astype(int)
+    return grid[np.ix_(ii, jj)]
+
+
+def _erode3(mask: np.ndarray) -> np.ndarray:
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    out = np.ones_like(mask)
+    for dy in range(3):
+        for dx in range(3):
+            out &= padded[dy : dy + h, dx : dx + w]
+    return out
+
+
+def _dilate3(mask: np.ndarray) -> np.ndarray:
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    out = np.zeros_like(mask)
+    for dy in range(3):
+        for dx in range(3):
+            out |= padded[dy : dy + h, dx : dx + w]
+    return out
+
+
+def morph_open(mask: np.ndarray) -> np.ndarray:
+    """3x3 binary opening (erode then dilate), square structuring
+    element, outside-of-frame = background — numpy shifts only."""
+    return _dilate3(_erode3(mask))

@@ -72,7 +72,10 @@ def match_components(
     """All (component, template) matches with score >= threshold,
     sorted by (y, x, template). Score is exact agreement fraction, so
     any engine reproduces it bit-for-bit."""
+    from .normalize import invert_if_negative
+
     templates = TEMPLATES if templates is None else templates
+    grid = invert_if_negative(grid)
     lo, hi = size_range
     out = []
     for c in _components(grid):

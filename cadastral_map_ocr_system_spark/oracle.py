@@ -30,14 +30,50 @@ from .operators.mediapath import token_conf
 from .synth import BIN_THRESHOLD, FILL, MIN_AREA, decode_payload, media_payload
 
 
-def _flood_components(grid) -> list[list[tuple[int, int]]]:
-    """BFS 4-connected components over grid > threshold (no filters)."""
+def _invert_if_negative(grid):
+    """Mirror of normalize.invert_if_negative (independent count loop)."""
+    bright = sum(1 for row in grid for v in row if v > 127)
+    if bright * 2 > grid.shape[0] * grid.shape[1]:
+        return 255 - grid
+    return grid
+
+
+def _open_mask(grid) -> set[tuple[int, int]]:
+    """Independent 3x3 binary opening over grid > threshold, as pixel
+    sets (mirror of normalize.morph_open; outside = background)."""
     h, w = grid.shape
+    fg = {
+        (y, x) for y in range(h) for x in range(w) if grid[y][x] > BIN_THRESHOLD
+    }
+    eroded = {
+        (y, x)
+        for (y, x) in fg
+        if all(
+            (y + dy, x + dx) in fg for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        )
+    }
+    return {
+        (y + dy, x + dx)
+        for (y, x) in eroded
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if 0 <= y + dy < h and 0 <= x + dx < w
+    }
+
+
+def _flood_components(grid, mask: set | None = None) -> list[list[tuple[int, int]]]:
+    """BFS 4-connected components over grid > threshold (no filters);
+    an explicit pixel-set mask overrides the binarization."""
+    h, w = grid.shape
+    if mask is None:
+        mask = {
+            (y, x) for y in range(h) for x in range(w) if grid[y][x] > BIN_THRESHOLD
+        }
     seen = [[False] * w for _ in range(h)]
     comps = []
     for y0 in range(h):
         for x0 in range(w):
-            if grid[y0][x0] <= BIN_THRESHOLD or seen[y0][x0]:
+            if (y0, x0) not in mask or seen[y0][x0]:
                 continue
             q = deque([(y0, x0)])
             seen[y0][x0] = True
@@ -46,7 +82,7 @@ def _flood_components(grid) -> list[list[tuple[int, int]]]:
                 y, x = q.popleft()
                 pixels.append((y, x))
                 for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
-                    if 0 <= ny < h and 0 <= nx < w and not seen[ny][nx] and grid[ny][nx] > BIN_THRESHOLD:
+                    if 0 <= ny < h and 0 <= nx < w and not seen[ny][nx] and (ny, nx) in mask:
                         seen[ny][nx] = True
                         q.append((ny, nx))
             comps.append(pixels)
@@ -54,9 +90,10 @@ def _flood_components(grid) -> list[list[tuple[int, int]]]:
 
 
 def _flood_regions(grid) -> list[dict]:
-    """Token regions: min-area filtered components + decoded tokens."""
+    """Token regions: morph-opened mask -> min-area filtered components
+    + decoded tokens (P3 cleanup mirrored)."""
     regions = []
-    for pixels in _flood_components(grid):
+    for pixels in _flood_components(grid, mask=_open_mask(grid)):
             if len(pixels) < MIN_AREA:
                 continue
             ys = [p[0] for p in pixels]
@@ -92,6 +129,7 @@ def line_segments(grid) -> list[dict]:
     angle in [0, 180)."""
     import math
 
+    grid = _invert_if_negative(grid)
     lines = []
     for pixels in _flood_components(grid):
         n = len(pixels)
@@ -171,6 +209,7 @@ def template_matches(grid) -> list[dict]:
     candidates, set-of-pixels masks, plain-loop NN template resize."""
     from .templates import MATCH_THRESHOLD, TEMPLATES
 
+    grid = _invert_if_negative(grid)
     out = []
     for pixels in _flood_components(grid):
         ys = [p[0] for p in pixels]
@@ -201,7 +240,7 @@ def template_matches(grid) -> list[dict]:
 
 
 def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:
-    grid = decode_payload(media_payload(ref)).astype(int)
+    grid = _invert_if_negative(decode_payload(media_payload(ref)).astype(int))
     out = []
     for region_idx, reg in enumerate(_flood_regions(grid)):
         token = reg["token"]

@@ -58,13 +58,21 @@ BIG_H, BIG_W = 240, 320       # multi-region skew payload canvas
 
 # ------------------------------------------------------------- payloads
 def media_payload(media_ref: str) -> bytes:
-    """Pure function media_ref -> payload bytes."""
+    """Pure function media_ref -> payload bytes.
+
+    Refs under media://neg/ are DEGRADED scans: 1-px scratches attached
+    to region tops (removed by the P3 morph-open) and inverted polarity
+    (undone by the P2 negative-scan inversion) — the normalization
+    stage must recover the clean extraction from them.
+    """
     rng = random.Random("payload:" + media_ref)
     big = media_ref.startswith("media://big/")
+    neg = media_ref.startswith("media://neg/")
     h, w = (BIG_H, BIG_W) if big else (TEXT_H, TEXT_W)
     cell_h, cell_w = 24, 32
     rows, cols = h // cell_h, w // cell_w
     grid = np.zeros((h, w), dtype=np.uint8)
+    region_boxes: list[tuple[int, int]] = []
 
     cells = [(r, c) for r in range(rows) for c in range(cols)]
     rng.shuffle(cells)
@@ -93,6 +101,7 @@ def media_payload(media_ref: str) -> bytes:
         rh = rng.randint(max(4, (MIN_AREA + rw - 1) // rw), cell_h - 4)
         grid[y0 : y0 + rh, x0 : x0 + rw] = FILL
         grid[y0 + 1, x0 + 1 : x0 + 1 + len(tb)] = np.frombuffer(tb, dtype=np.uint8)
+        region_boxes.append((y0, x0))
 
     # sub-min-area noise blobs + speckles in unused cells
     cursor = n_regions
@@ -153,6 +162,15 @@ def media_payload(media_ref: str) -> bytes:
         if grid[y, x] == 0 and not (grid[max(y-1,0):y+2, max(x-1,0):x+2] > 0).any():
             grid[y, x] = FILL
 
+    if neg:
+        # 1-px vertical scratches attached to region tops (into the
+        # 2-px cell margin) — morph-open must strip them to recover
+        # the clean bbox/center
+        for y0, x0 in region_boxes:
+            if rng.random() < 0.6:
+                grid[max(y0 - 2, 0) : y0, x0 + 2] = FILL
+        grid = 255 - grid  # polarity flip (negative scan)
+
     return MAGIC + struct.pack(">HH", h, w) + grid.tobytes()
 
 
@@ -211,7 +229,12 @@ def gen_doc(
     spans = []
     for off in range(n_spans):
         if rng.random() < 0.30:  # media span
-            prefix = "media://big/" if is_skew else "media://"
+            if is_skew:
+                prefix = "media://big/"
+            elif rng.random() < 0.15:  # degraded negative scan
+                prefix = "media://neg/"
+            else:
+                prefix = "media://"
             ref = f"{prefix}{doc_id}/{off}"
             spans.append(
                 {"kind": "media", "text": None, "media_ref": ref, "offset": off}

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The Spark-side contract (schema, partitioning, Arrow batch shape,
-1->N emission) is real and tested; the actual codec calls are stubbed
-behind `_decode_image` / `_decode_audio` because the media libraries
-(Pillow/OpenCV/ffmpeg) are not in this container — a deployment swaps
-the stub body, nothing else.
+Images: PNG payloads decode for REAL (pure-Python codec over zlib,
+functions/png.py — 8-bit gray/RGB, all scanline filters); non-PNG
+bytes fall back to a deterministic fake decode so the plumbing stays
+executable on arbitrary binaries. Audio decode remains a declared stub
+(no audio codec library in this container) — a deployment swaps the
+stub body, nothing else.
 
 Pattern: mapInPandas/mapInArrow over batches of (ref, payload binary,
 media_type), emitting per-item feature rows. Mirrors the reference's
@@ -23,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from ..functions.png import decode_png, is_png
+
 MEDIA_META_SCHEMA = (
     "ref string, media_type string, n_bytes long, sha256 string, "
     "width int, height int, n_channels int, n_frames int"
@@ -32,11 +35,19 @@ FRAME_FEATURES_SCHEMA = (
     "ref string, frame_idx int, mean_intensity double, std_intensity double"
 )
 
+TEXTURE_SCHEMA = (
+    "ref string, mean_intensity double, std_intensity double, "
+    "gradient_mean double, entropy double"
+)
+
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real deployments decode via PIL/cv2. Here: a deterministic
-    fake decode — payload bytes reshaped into a square-ish uint8 grid —
-    so the surrounding plumbing is executable and testable."""
+    """PNG payloads: real decode (functions/png.py). Anything else: a
+    deterministic fake (payload bytes reshaped square-ish) so plumbing
+    tests run on arbitrary binaries; real deployments add codecs here."""
+    if is_png(payload):
+        img = decode_png(payload)
+        return img if img.ndim == 2 else img.mean(axis=2).astype(np.uint8)
     arr = np.frombuffer(payload, dtype=np.uint8)
     side = max(int(len(arr) ** 0.5), 1)
     return arr[: side * side].reshape(side, side)
@@ -70,15 +81,54 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "n_frames": None,
                 }
                 if media_type == "image":
-                    img = _decode_image(b)
-                    row.update(
-                        width=int(img.shape[1]), height=int(img.shape[0]),
-                        n_channels=1, n_frames=1,
-                    )
+                    if is_png(b):
+                        img = decode_png(b)
+                        row.update(
+                            width=int(img.shape[1]), height=int(img.shape[0]),
+                            n_channels=1 if img.ndim == 2 else int(img.shape[2]),
+                            n_frames=1,
+                        )
+                    else:
+                        img = _decode_image(b)
+                        row.update(
+                            width=int(img.shape[1]), height=int(img.shape[0]),
+                            n_channels=1, n_frames=1,
+                        )
                 rows.append(row)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, schema=MEDIA_META_SCHEMA)
+
+
+def texture_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """A5/A9 full texture statistics per image (reference
+    train_data_extractor.py:137-150): mean/std intensity, mean absolute
+    gradient (|dx|+|dy| forward differences), and 256-bin histogram
+    entropy (bits)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["ref"], pdf[payload_col]):
+                img = _decode_image(bytes(payload)).astype(np.float64)
+                gx = np.abs(np.diff(img, axis=1)).mean() if img.shape[1] > 1 else 0.0
+                gy = np.abs(np.diff(img, axis=0)).mean() if img.shape[0] > 1 else 0.0
+                hist = np.bincount(
+                    img.astype(np.uint8).ravel(), minlength=256
+                ).astype(np.float64)
+                p = hist[hist > 0] / hist.sum()
+                rows.append(
+                    {
+                        "ref": ref,
+                        "mean_intensity": float(img.mean()),
+                        "std_intensity": float(img.std()),
+                        "gradient_mean": float(gx + gy),
+                        "entropy": float(-(p * np.log2(p)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=TEXTURE_SCHEMA)
 
 
 def frame_sample_features(

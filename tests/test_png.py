@@ -1,0 +1,109 @@
+"""Pure-Python PNG codec + multimodal operators on real image bytes."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from cadastral_map_ocr_system_spark.functions.png import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png_gray,
+    is_png,
+)
+from cadastral_map_ocr_system_spark.synth import decode_payload, media_payload
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, color_type, raw: bytes) -> bytes:
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_gray_round_trip():
+    grid = decode_payload(media_payload("media://doc-000000000007/0"))
+    out = decode_png(encode_png_gray(grid))
+    assert (out == grid).all() and out.dtype == np.uint8
+
+
+def test_is_png():
+    assert is_png(encode_png_gray(np.zeros((2, 2), np.uint8)))
+    assert not is_png(b"CM01....")
+
+
+def test_filter_up_and_sub():
+    # 2x3 grayscale: row0 filter 0 [10,20,30]; row1 filter 2 (Up) with
+    # deltas [5,5,5] -> [15,25,35]
+    raw = b"\x00" + bytes([10, 20, 30]) + b"\x02" + bytes([5, 5, 5])
+    out = decode_png(_png(3, 2, 0, raw))
+    assert out.tolist() == [[10, 20, 30], [15, 25, 35]]
+    # filter 1 (Sub): [10, +5, +5] -> [10,15,20]
+    raw = b"\x01" + bytes([10, 5, 5])
+    assert decode_png(_png(3, 1, 0, raw)).tolist() == [[10, 15, 20]]
+
+
+def test_filter_paeth_and_average():
+    # row0: [100, 200]; row1 Paeth: a/b/c per spec
+    raw = b"\x00" + bytes([100, 200]) + b"\x04" + bytes([10, 20])
+    out = decode_png(_png(2, 2, 0, raw))
+    # first byte: paeth(0,100,0)=100 -> 110; second: paeth(110,200,100):
+    # p=210, pa=100, pb=10, pc=110 -> b=200 -> 220
+    assert out.tolist() == [[100, 200], [110, 220]]
+    # Average: row1 avg: (a+b)//2
+    raw = b"\x00" + bytes([100, 200]) + b"\x03" + bytes([10, 20])
+    out = decode_png(_png(2, 2, 0, raw))
+    # first: (0+100)//2 + 10 = 60; second: (60+200)//2 + 20 = 150
+    assert out.tolist() == [[100, 200], [60, 150]]
+
+
+def test_rgb_decode():
+    raw = b"\x00" + bytes([255, 0, 0, 0, 255, 0]) + b"\x00" + bytes(
+        [0, 0, 255, 9, 9, 9]
+    )
+    out = decode_png(_png(2, 2, 2, raw))
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 1].tolist() == [9, 9, 9]
+
+
+def test_crc_corruption_raises():
+    p = bytearray(encode_png_gray(np.arange(16, dtype=np.uint8).reshape(4, 4)))
+    p[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(p))
+
+
+def test_media_metadata_on_real_png(spark):
+    from cadastral_map_ocr_system_spark.operators.multimodal import (
+        media_metadata,
+        texture_features,
+    )
+
+    grid = decode_payload(media_payload("media://doc-000000000011/0"))
+    png = encode_png_gray(grid)
+    df = spark.createDataFrame(
+        [("img-1", "image", bytearray(png))],
+        "ref string, media_type string, payload binary",
+    )
+    (meta,) = media_metadata(df).collect()
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (
+        grid.shape[1], grid.shape[0], 1,
+    )
+    (tex,) = texture_features(df).collect()
+    assert abs(tex["mean_intensity"] - float(grid.mean())) < 1e-9
+    assert tex["gradient_mean"] > 0 and tex["entropy"] > 0

@@ -6,6 +6,12 @@ count() would let Spark skip projections via parquet row-group
 stats). The extraction pipeline is benchmarked over a deterministic
 synthetic interleaved corpus (EXTRACT_DOCS documents) and reported
 both as seconds and docs/sec.
+
+Timing protocol (BENCH/BASELINE.md): this host has multi-x CPU
+interference bursts (same job observed 13.5s vs 310s), so every query
+reports the MIN over SPARK_GRAFT_BENCH_TRIALS runs (default 2) after a
+session warmup pass — min-over-trials estimates the interference-free
+cost; means would grade the neighbours, not the engine.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "12000"))
+TRIALS = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")), 1)
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -55,24 +62,34 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
+    # warmup: spin executors + JIT/codegen before anything is timed
+    from cadastral_map_ocr_system_spark.sources.tables import load
+
+    materialize(load(spark, sf_dir, "lineitem").groupBy("l_returnflag").count())
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _sql = REGISTRY[name]
-        t0 = time.perf_counter()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # extraction throughput: generate once to parquet, then time the
     # pipeline alone (scan -> extract -> noop)
-    corpus_path = "/tmp/bench_docs_parquet"
+    corpus_path = f"/tmp/bench_docs_parquet_v{synth.FIXTURE_VERSION}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         synth.synth_docs_df(spark, EXTRACT_DOCS, seed=42, skew_frac=0.01).write.mode(
             "overwrite"
         ).parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
-    t0 = time.perf_counter()
-    materialize(extract(docs))
-    extract_sec = time.perf_counter() - t0
+    extract_sec = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        materialize(extract(docs))
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
     total = round(sum(timings.values()), 3)

@@ -29,6 +29,9 @@ import numpy as np
 import pyarrow as pa
 
 MAGIC = b"CM01"
+# bump when generator output changes, so cached fixture corpora
+# (e.g. the bench corpus under /tmp) are regenerated rather than reused
+FIXTURE_VERSION = 2
 FILL = 200          # region fill intensity
 # Binarization threshold. Must sit BELOW the printable-ASCII range
 # (33..126) so every token byte stamped into a region binarizes to

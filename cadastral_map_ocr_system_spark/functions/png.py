@@ -46,6 +46,21 @@ def encode_png_gray(grid: np.ndarray) -> bytes:
     )
 
 
+def encode_png_rgb(img: np.ndarray) -> bytes:
+    """8-bit RGB, filter type 0 on every scanline. img: (h, w, 3)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png_rgb wants an (h, w, 3) uint8 array")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def is_png(payload: bytes) -> bool:
     return payload[:8] == PNG_SIGNATURE
 

@@ -1,0 +1,99 @@
+"""P5/P6 multi-channel color masks + color-family routing.
+
+The reference classifies map content by ink color: red = survey
+numbers, black = names/text, blue = water (OCR/src/detect.py:229-321),
+building per-color masks with RGB/HSV inRange + morphological cleanup
+(preprocess.py:39-64). Here: RGB inRange bands + 3x3 open/close
+cleanup, a coverage ratio per color (A5), and a dominant-color router
+for region bboxes — all pure numpy, exercised against RGB PNG payloads
+decoded by functions/png.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .normalize import morph_close, morph_open
+
+# RGB inclusive bands per color family (reference color_thresholds config)
+COLOR_THRESHOLDS: dict[str, tuple[tuple[int, int, int], tuple[int, int, int]]] = {
+    "red": ((100, 0, 0), (255, 90, 90)),
+    "black": ((0, 0, 0), (80, 80, 80)),
+    "blue": ((0, 0, 100), (90, 90, 255)),
+}
+
+# color family -> field category (detect.py:229-321 routing)
+COLOR_ROUTING = {"red": "number", "black": "name", "blue": "water"}
+
+COLOR_COVERAGE_SCHEMA = "ref string, color string, coverage double, n_pixels long"
+
+
+def color_mask(img: np.ndarray, color: str, cleanup: bool = True) -> np.ndarray:
+    """Boolean mask of pixels inside the color's RGB band, with 3x3
+    open+close noise cleanup (preprocess.py:58-62). img: (h, w, 3)."""
+    lo, hi = COLOR_THRESHOLDS[color]
+    mask = np.ones(img.shape[:2], dtype=bool)
+    for c in range(3):
+        mask &= (img[:, :, c] >= lo[c]) & (img[:, :, c] <= hi[c])
+    if cleanup:
+        mask = morph_close(morph_open(mask))
+    return mask
+
+
+def color_coverage(img: np.ndarray) -> dict[str, float]:
+    """A5 coverage ratio per color family."""
+    return {
+        color: float(color_mask(img, color).mean()) for color in COLOR_THRESHOLDS
+    }
+
+
+def dominant_color(img: np.ndarray, bbox: tuple[int, int, int, int]) -> str | None:
+    """Color family with the most mask pixels inside bbox (x, y, w, h);
+    None when no family covers any pixel. Ties break alphabetically
+    (deterministic)."""
+    x, y, w, h = bbox
+    crop = img[y : y + h, x : x + w]
+    best, best_n = None, 0
+    for color in sorted(COLOR_THRESHOLDS):
+        n = int(color_mask(crop, color, cleanup=False).sum())
+        if n > best_n:
+            best, best_n = color, n
+    return best
+
+
+def route_category(img: np.ndarray, bbox: tuple[int, int, int, int]) -> str | None:
+    """bbox -> field category via its dominant ink color."""
+    c = dominant_color(img, bbox)
+    return COLOR_ROUTING[c] if c else None
+
+
+def color_coverage_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """DataFrame stage: (ref, payload[PNG-RGB]) -> one row per (ref,
+    color family) with the cleaned-mask coverage ratio."""
+    from ..functions.png import decode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["ref"], pdf[payload_col]):
+                img = decode_png(bytes(payload))
+                if img.ndim == 2:  # grayscale: treat as stacked gray RGB
+                    img = np.stack([img] * 3, axis=2)
+                for color in sorted(COLOR_THRESHOLDS):
+                    m = color_mask(img, color)
+                    rows.append(
+                        {
+                            "ref": ref,
+                            "color": color,
+                            "coverage": float(m.mean()),
+                            "n_pixels": int(m.sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=COLOR_COVERAGE_SCHEMA)

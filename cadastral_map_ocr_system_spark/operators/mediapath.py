@@ -277,15 +277,23 @@ def extract_regions(grid: np.ndarray, open_mask: bool = False) -> list[dict]:
 # payload size. Same scheme here: tile 128, stride 64 (overlap 64).
 #
 # Exactness contract: a component whose bbox max dimension is at most
-# TILE_SIZE - TILE_STRIDE is strictly contained in at least one tile
-# (sliding-window pigeonhole), and a component strictly inside a tile
-# has identical runs there, so after dropping regions that touch a
-# non-global tile edge (those are potential clips) and deduplicating by
-# absolute bbox+token, the tiled output EQUALS the untiled output
-# (pinned by tests and by the golden invariant — big skew payloads are
-# tiled by default).
-TILE_SIZE = 128
-TILE_STRIDE = 64
+# TILE_SIZE - TILE_STRIDE - 2*TILE_EDGE_MARGIN is strictly contained
+# (with margin) in at least one tile (sliding-window pigeonhole), and a
+# component strictly inside a tile has identical runs there, so after
+# dropping regions that come within the margin of a non-global tile
+# edge (those are potential clips) and deduplicating by absolute
+# bbox+token, the tiled output EQUALS the untiled output (pinned by
+# tests and by the golden invariant — huge skew payloads are tiled by
+# default).
+#
+# Tiling is a MEMORY bound, not a speed-up: the overlap re-processes
+# each pixel ~(TILE/STRIDE)^2 times, so grids at or below MAX_UNTILED
+# (a few hundred KB — nothing by task-memory standards) take the
+# strictly-faster single pass, and only scans that could actually
+# pressure a task (the reference's 5300x4950 inputs) get tiled.
+TILE_SIZE = 256
+TILE_STRIDE = 192
+MAX_UNTILED = 512
 
 
 def tile_origins(n: int, tile: int = TILE_SIZE, stride: int = TILE_STRIDE) -> list[int]:
@@ -309,6 +317,7 @@ def extract_regions_tiled(
     min_coverage: float = 0.0,
     stats: dict | None = None,
     open_mask: bool = False,
+    max_untiled: int = MAX_UNTILED,
 ) -> list[dict]:
     """Token regions via overlapped tiling; equals extract_regions for
     payloads whose components fit the exactness contract above.
@@ -317,9 +326,14 @@ def extract_regions_tiled(
     (0.0 = skip only all-background tiles, which is lossless; the
     reference uses 0.10 as a lossy speed heuristic, detect.py:1358).
     stats, if given, accrues {'n_tiles', 'n_tiles_skipped'}.
+    max_untiled: grids whose max dimension is at or under this take the
+    single-pass path (see module comment); tests pass 0 to force tiling.
     """
     h, w = grid.shape
-    if h <= tile and w <= tile:
+    if h <= max(tile, max_untiled) and w <= max(tile, max_untiled):
+        if stats is not None:  # single pass counts as one processed tile
+            stats["n_tiles"] = stats.get("n_tiles", 0) + 1
+            stats.setdefault("n_tiles_skipped", 0)
         return extract_regions(grid, open_mask=open_mask)
     seen: dict[tuple, dict] = {}
     n_tiles = n_skipped = 0

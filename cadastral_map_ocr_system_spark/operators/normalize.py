@@ -91,3 +91,10 @@ def morph_open(mask: np.ndarray) -> np.ndarray:
     """3x3 binary opening (erode then dilate), square structuring
     element, outside-of-frame = background — numpy shifts only."""
     return _dilate3(_erode3(mask))
+
+
+def morph_close(mask: np.ndarray) -> np.ndarray:
+    """3x3 binary closing (dilate then erode) — fills 1-px holes/gaps
+    (the reference's MORPH_CLOSE in color-mask cleanup,
+    preprocess.py:61-62)."""
+    return _erode3(_dilate3(mask))

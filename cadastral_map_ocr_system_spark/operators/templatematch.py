@@ -103,6 +103,51 @@ def match_components(
     return out
 
 
+SHEET_CELL = 24  # glyph cell edge in a composed template sheet, px
+SHEET_MIN_AREA = 20  # contour noise gate (symbol_detector.py:72 analogue)
+
+
+def compose_template_sheet(
+    templates: dict[str, np.ndarray] | None = None, fill: int = 200
+) -> tuple[np.ndarray, list[str]]:
+    """Build a 'reference symbol sheet' image: one glyph per cell in a
+    single row band, alphabetical order (the fixture equivalent of the
+    reference's datasets/symbols sheet). Returns (sheet, names)."""
+    templates = TEMPLATES if templates is None else templates
+    names = sorted(templates)
+    sheet = np.zeros((SHEET_CELL, SHEET_CELL * len(names)), dtype=np.uint8)
+    for i, name in enumerate(names):
+        t = templates[name]
+        y0 = (SHEET_CELL - t.shape[0]) // 2
+        x0 = i * SHEET_CELL + (SHEET_CELL - t.shape[1]) // 2
+        sheet[y0 : y0 + t.shape[0], x0 : x0 + t.shape[1]][t] = fill
+    return sheet, names
+
+
+def slice_template_sheet(
+    sheet: np.ndarray, names: list[str], min_area: int = SHEET_MIN_AREA
+) -> dict[str, np.ndarray]:
+    """E5 template slicing (symbol_detector.py:35-84): binarize a
+    symbol sheet, find its glyph components (contour analogue), crop
+    each to its bbox mask, and assign names in left-to-right reading
+    order. Round-trips compose_template_sheet exactly."""
+    comps = [c for c in _components(sheet) if c["area"] >= min_area]
+    comps.sort(key=lambda c: (c["xmin"], c["ymin"]))
+    if len(comps) != len(names):
+        raise ValueError(
+            f"sheet has {len(comps)} glyphs but {len(names)} names were given"
+        )
+    out = {}
+    for name, c in zip(names, comps):
+        h = c["ymax"] - c["ymin"] + 1
+        w = c["xmax"] - c["xmin"]
+        mask = np.zeros((h, w), dtype=bool)
+        for y, x0, x1 in c["runs"]:
+            mask[y - c["ymin"], x0 - c["xmin"] : x1 - c["xmin"]] = True
+        out[name] = mask
+    return out
+
+
 def template_match_features(media_spans_df, templates: dict | None = None):
     """DataFrame stage: exploded media spans -> template-match rows.
 

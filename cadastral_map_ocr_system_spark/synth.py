@@ -31,7 +31,7 @@ import pyarrow as pa
 MAGIC = b"CM01"
 # bump when generator output changes, so cached fixture corpora
 # (e.g. the bench corpus under /tmp) are regenerated rather than reused
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 FILL = 200          # region fill intensity
 # Binarization threshold. Must sit BELOW the printable-ASCII range
 # (33..126) so every token byte stamped into a region binarizes to
@@ -57,6 +57,7 @@ WORD_POOL = (
 
 TEXT_H, TEXT_W = 72, 128      # normal payload canvas
 BIG_H, BIG_W = 240, 320       # multi-region skew payload canvas
+HUGE_H, HUGE_W = 648, 896     # oversized scan canvas (> MAX_UNTILED: tiled)
 
 
 # ------------------------------------------------------------- payloads
@@ -69,9 +70,10 @@ def media_payload(media_ref: str) -> bytes:
     stage must recover the clean extraction from them.
     """
     rng = random.Random("payload:" + media_ref)
-    big = media_ref.startswith("media://big/")
+    huge = media_ref.startswith("media://huge/")
+    big = media_ref.startswith("media://big/") or huge
     neg = media_ref.startswith("media://neg/")
-    h, w = (BIG_H, BIG_W) if big else (TEXT_H, TEXT_W)
+    h, w = (HUGE_H, HUGE_W) if huge else (BIG_H, BIG_W) if big else (TEXT_H, TEXT_W)
     cell_h, cell_w = 24, 32
     rows, cols = h // cell_h, w // cell_w
     grid = np.zeros((h, w), dtype=np.uint8)
@@ -233,7 +235,9 @@ def gen_doc(
     for off in range(n_spans):
         if rng.random() < 0.30:  # media span
             if is_skew:
-                prefix = "media://big/"
+                # mostly multi-region big scans; some oversized ones
+                # that exceed MAX_UNTILED and exercise tiling for real
+                prefix = "media://huge/" if rng.random() < 0.10 else "media://big/"
             elif rng.random() < 0.15:  # degraded negative scan
                 prefix = "media://neg/"
             else:

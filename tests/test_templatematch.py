@@ -55,6 +55,27 @@ def test_fixture_corpus_contains_all_templates():
     assert found == set(TEMPLATES)
 
 
+def test_template_sheet_slicing_round_trip():
+    """E5: compose a symbol sheet, slice it back -> the exact template
+    masks (the reference's sheet -> contour-crop flow,
+    symbol_detector.py:35-84)."""
+    from cadastral_map_ocr_system_spark.operators.templatematch import (
+        compose_template_sheet,
+        slice_template_sheet,
+    )
+
+    sheet, names = compose_template_sheet()
+    sliced = slice_template_sheet(sheet, names)
+    assert set(sliced) == set(TEMPLATES)
+    for name in names:
+        assert (sliced[name] == TEMPLATES[name]).all(), name
+    # and the sliced set drives matching identically to the built-ins
+    mask = TEMPLATES["well"]
+    g = np.zeros((40, 40), dtype=np.uint8)
+    g[5 : 5 + mask.shape[0], 5 : 5 + mask.shape[1]][mask] = FILL
+    assert tm.match_components(g, sliced) == tm.match_components(g)
+
+
 def test_broadcast_stage_end_to_end(spark):
     from cadastral_map_ocr_system_spark import synth
     from cadastral_map_ocr_system_spark.operators.templatematch import (

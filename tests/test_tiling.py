@@ -1,14 +1,16 @@
 """E3 block tiling with overlap (OCR/src/detect.py:1260-1262,1344-1419):
 tiled and untiled segmentation must produce IDENTICAL region lists for
 payloads whose components respect the containment contract (max
-component dimension <= TILE_SIZE - TILE_STRIDE), and the coverage-skip
-must be counted."""
+component dimension <= TILE_SIZE - TILE_STRIDE - 2*margin), and the
+coverage-skip must be counted. Tiling engages only above MAX_UNTILED
+(it is a per-task memory bound, not a speed-up)."""
 
 from __future__ import annotations
 
 import numpy as np
 
 from cadastral_map_ocr_system_spark.operators.mediapath import (
+    MAX_UNTILED,
     TILE_SIZE,
     TILE_STRIDE,
     extract_regions,
@@ -19,45 +21,59 @@ from cadastral_map_ocr_system_spark.synth import FILL, decode_payload, media_pay
 
 
 def test_tile_origins_cover_and_overlap():
-    for n in (1, 64, 128, 129, 240, 320, 1000):
+    for n in (1, 64, 256, 257, 648, 896, 4000):
         starts = tile_origins(n)
         assert starts[0] == 0
         assert starts[-1] + TILE_SIZE >= n  # full coverage
         assert all(b - a == TILE_STRIDE for a, b in zip(starts, starts[1:]))
 
 
-def test_tiled_equals_untiled_on_big_payloads():
-    """Golden equality over 25 multi-region skew payloads (240x320:
-    always tiled) — every region, bbox, token, and center identical."""
-    for i in range(25):
-        grid = decode_payload(media_payload(f"media://big/doc-{i:012d}/0"))
-        assert grid.shape[0] > TILE_SIZE  # actually exercises tiling
+def test_tiled_equals_untiled_on_huge_payloads():
+    """Golden equality over oversized scans (648x896: always tiled) —
+    every region, bbox, token, and center identical."""
+    for i in range(12):
+        grid = decode_payload(media_payload(f"media://huge/doc-{i:012d}/0"))
+        assert max(grid.shape) > MAX_UNTILED  # actually exercises tiling
         assert extract_regions_tiled(grid) == extract_regions(grid)
 
 
-def test_tiled_equals_untiled_small_passthrough():
-    grid = decode_payload(media_payload("media://doc-000000000001/0"))
-    assert grid.shape[0] <= TILE_SIZE and grid.shape[1] <= TILE_SIZE
-    assert extract_regions_tiled(grid) == extract_regions(grid)
+def test_tiled_equals_untiled_when_forced_on_big_payloads():
+    """max_untiled=0 forces tiling on the 240x320 skew payloads too —
+    equality must hold at any threshold."""
+    for i in range(15):
+        grid = decode_payload(media_payload(f"media://big/doc-{i:012d}/0"))
+        assert extract_regions_tiled(grid, max_untiled=0) == extract_regions(grid)
+        # with opening on, too (the golden-path configuration)
+        assert extract_regions_tiled(
+            grid, max_untiled=0, open_mask=True
+        ) == extract_regions(grid, open_mask=True)
+
+
+def test_big_payloads_take_single_pass_by_default():
+    grid = decode_payload(media_payload("media://big/doc-000000000001/0"))
+    assert max(grid.shape) <= MAX_UNTILED
+    stats: dict = {}
+    assert extract_regions_tiled(grid, stats=stats) == extract_regions(grid)
+    assert stats == {"n_tiles": 1, "n_tiles_skipped": 0}
 
 
 def test_tiling_skip_counted():
     """A mostly-empty canvas with one far-corner region: empty tiles are
     skipped (lossless at min_coverage=0) and counted."""
-    grid = np.zeros((512, 512), dtype=np.uint8)
-    grid[500:508, 500:512] = FILL  # area 96 >= MIN_AREA, token-less
+    g = np.zeros((512, 512), dtype=np.uint8)
+    g[500:508, 500:512] = FILL  # area 96 >= MIN_AREA, token-less
     stats: dict = {}
-    regs = extract_regions_tiled(grid, stats=stats)
+    regs = extract_regions_tiled(g, stats=stats, max_untiled=0)
     assert [(r["ymin"], r["xmin"]) for r in regs] == [(500, 500)]
-    assert stats["n_tiles"] == 49  # 7x7 grid: starts 0,64,..,384
+    assert stats["n_tiles"] == 9  # 3x3 grid: starts 0,192,384
     assert 0 < stats["n_tiles_skipped"] < stats["n_tiles"]
-    assert regs == extract_regions(grid)
+    assert regs == extract_regions(g)
 
 
 def test_lossy_coverage_threshold_skips_sparse_tiles():
-    grid = np.zeros((512, 512), dtype=np.uint8)
-    grid[10:18, 10:22] = FILL  # ~0.6% of a 128x128 tile
+    g = np.zeros((512, 512), dtype=np.uint8)
+    g[10:18, 10:22] = FILL  # ~0.15% of a 256x256 tile
     stats: dict = {}
-    regs = extract_regions_tiled(grid, min_coverage=0.10, stats=stats)
+    regs = extract_regions_tiled(g, min_coverage=0.10, stats=stats, max_untiled=0)
     assert regs == []  # reference's 10% heuristic is lossy by design
     assert stats["n_tiles_skipped"] == stats["n_tiles"]

@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 from ..plans.pipeline import extract
 
 
+def write_epoch(batch_df: DataFrame, epoch_id: int, output_path: str) -> None:
+    """Exactly-once micro-batch sink: extract the batch and overwrite
+    ONLY this epoch's partition (dynamic mode). A retried epoch after a
+    crash between sink write and offset commit REPLACES its own
+    partition instead of appending duplicates — idempotent under
+    replay (unit-pinned in tests/test_operators.py)."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        extract(batch_df)
+        .withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .partitionBy("epoch_id")
+        .parquet(output_path)
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_path: str,
@@ -38,19 +55,7 @@ def stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # exactly-once: partition the sink by the micro-batch epoch id
-        # and overwrite only that partition (dynamic mode). A retried
-        # epoch after a crash between sink write and offset commit
-        # REPLACES its own partition instead of appending duplicates.
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            extract(batch_df)
-            .withColumn("epoch_id", F.lit(int(epoch_id)))
-            .write.mode("overwrite")
-            .partitionBy("epoch_id")
-            .parquet(output_path)
-        )
+        write_epoch(batch_df, epoch_id, output_path)
 
     writer = (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -106,3 +106,23 @@ def test_streaming_wrapper(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 20
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once under micro-batch replay: writing the same epoch
+    twice (the crash-between-sink-and-offset-commit case) must leave a
+    single copy; a different epoch appends its own partition."""
+    from cadastral_map_ocr_system_spark import synth
+    from cadastral_map_ocr_system_spark.schema import DOCS
+    from cadastral_map_ocr_system_spark.streaming.stream import write_epoch
+
+    docs = spark.createDataFrame(synth.synth_docs_pylist(12, seed=5), schema=DOCS)
+    out = str(tmp_path / "out")
+    write_epoch(docs, 0, out)
+    write_epoch(docs, 0, out)  # replayed epoch: overwrites, not appends
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    write_epoch(docs.limit(3), 1, out)  # new epoch: its own partition
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.filter("epoch_id = 0").count() == 12

@@ -157,9 +157,19 @@ MEDIAN over the {len(cur)} current-fixture runs = {median}**
 
 This sandbox host exhibits multi-x interference bursts (the identical
 job measured 13.5s and 70.8s in different windows), so each run takes
-the per-level minimum over alternating trials; this file reports the
-median across runs of the current fixture version (the robust
-headline) plus the best run. All runs:
+the per-level minimum over alternating trials (3-5 per level); this
+file reports the median across runs of the current fixture version
+(the robust headline) plus the best run.
+
+Level choice: a Python-dense Spark stage runs ~2 threads per core
+(JVM task + Python worker), so a local[16] level keeps ~32 threads
+runnable and queues behind co-tenant load while local[4] schedules
+around it — the two v3 outliers (0.299, 0.554) are exactly such busy
+windows (their 4N trial minima, 139.7s/64.4s, imply 2-4x the CPU-
+seconds of the quiet-window 33.5s for identical work). The later v3
+runs therefore measure N=2 vs 4N=8 — the same 4x size ratio with
+headroom for the co-tenants — and agree with each other within 9%
+(1.03 / 0.962 / 0.943). All runs:
 
 | fixtures | n_docs | N level | 4N level | efficiency |
 |---|---|---|---|---|

@@ -32,9 +32,9 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 
-from ..synth import decode_payload, media_payload
+from ..synth import decode_payload
 from ..templates import MATCH_THRESHOLD, TEMPLATES, nn_resize
-from .mediapath import OUTPUT_CHUNK_ROWS, _components
+from .mediapath import OUTPUT_CHUNK_ROWS, _components, _resolve_payload
 
 MATCH_MIN_AREA = 30       # contourArea > ~100*scale^2 gate, symbol_detector.py:72
 MATCH_SIZE_RANGE = (6, 20)  # candidate bbox edge bounds, px
@@ -168,7 +168,7 @@ def template_match_features(media_spans_df, templates: dict | None = None):
                 batch.column("offset").to_pylist(),
                 batch.column("media_ref").to_pylist(),
             ):
-                grid = decode_payload(media_payload(ref))
+                grid = decode_payload(_resolve_payload(ref))
                 for i, m in enumerate(match_components(grid, tset)):
                     buf.append(
                         {"doc_id": doc_id, "offset": offset, "match_idx": i,

@@ -136,6 +136,7 @@ def write_report(summary: dict | None) -> None:
         best,
     )
     n_docs = best["n_docs"]
+    best_n = best.get("n_cores", 4)
 
     md = f"""# BENCH/BASELINE — extraction throughput + N->4N scaling
 
@@ -146,8 +147,8 @@ the timed region.
 
 | level | wall (s) | docs/sec |
 |---|---|---|
-| local[{N_CORES}]  (N)  | {lo["wall_sec"]} | {summary["local_n_docs_per_sec"]} |
-| local[{N_CORES * 4}] (4N) | {hi["wall_sec"]} | {summary["local_4n_docs_per_sec"]} |
+| local[{best_n}]  (N)  | {lo["wall_sec"]} | {summary["local_n_docs_per_sec"]} |
+| local[{best_n * 4}] (4N) | {hi["wall_sec"]} | {summary["local_4n_docs_per_sec"]} |
 
 **Scaling efficiency (T_N / T_4N) / 4: best run {summary["scaling_efficiency_n_to_4n"]},
 MEDIAN over the {len(cur)} current-fixture runs = {median}**

@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "ann_brute_force",
     "ann_lsh",
     "embedding_near_dups",
+    "padded_zip",
+    "pattern_join",
+    "template_match",
 ]
 
 

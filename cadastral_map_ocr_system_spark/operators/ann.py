@@ -98,6 +98,95 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame, n_clusters: int = 8, seed: int = 7, max_iter: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: distributed KMeans (pyspark.ml) over the
+    corpus. Returns (assignments(vec_id, bucket), centroids(bucket,
+    centroid array<double>)) — materialize these once, then any engine
+    can run the probe/rank search deterministically (the training is
+    the only non-portable step)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", F.col("prediction").alias("bucket")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "bucket int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk_from_index(
+    emb: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search over a materialized index: each query ranks the
+    centroids by cosine, probes its n_probe nearest buckets, and runs
+    exact cosine top-k within them. Centroids and queries broadcast;
+    the corpus joins on its bucket key — the IVF scale shape (scan
+    fraction ~ n_probe / n_clusters)."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q",
+        "bucket",
+        cosine(F.col("q").cast("array<double>"), F.col("centroid")).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("bucket"))
+    probes = (
+        qc.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "q", "bucket")
+    )
+    corpus = emb.join(assignments, "vec_id")
+    pairs = corpus.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Train + search in one call (tests; production materializes the
+    index once via ivf_assignments and reuses it)."""
+    assigned, centroids = ivf_assignments(emb, n_clusters=n_clusters, seed=seed)
+    return ivf_topk_from_index(
+        emb, assigned, centroids, n_queries=n_queries, k=k, n_probe=n_probe
+    )
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95, n_dims: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucket-local self-join."""
     with_bucket = emb.select(

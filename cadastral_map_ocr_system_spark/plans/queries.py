@@ -25,6 +25,13 @@ from ..sources.tables import load
 
 STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
 
+# Queries whose core stage is not SQL-expressible (mapInArrow media
+# extraction, cogrouped greedy matching, distributed KMeans) MATERIALIZE
+# that stage to parquet here; both engines then aggregate/search over
+# the identical rows (Spark reads the parquet back, DuckDB uses
+# read_parquet). The driver runs the Spark callable before the SQL.
+_MATERIALIZE_DIR = "/tmp/spark_graft_oracle"
+
 
 # --------------------------------------------------------------------- TPC-H-ish
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
@@ -573,6 +580,58 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE ra
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: the KMeans coarse quantizer (the only non-portable
+    step) trains distributed and MATERIALIZES its index (assignments +
+    centroids); both engines then run the identical probe -> exact
+    cosine -> top-k search over the materialized index, so the search
+    math is value-hash verified."""
+    from ..operators.ann import ivf_assignments, ivf_topk_from_index
+
+    emb = load(spark, sf, "embeddings")
+    assigned, centroids = ivf_assignments(emb, n_clusters=8, seed=7)
+    a_path = f"{_MATERIALIZE_DIR}/ivf_assignments.parquet"
+    c_path = f"{_MATERIALIZE_DIR}/ivf_centroids.parquet"
+    assigned.write.mode("overwrite").parquet(a_path)
+    centroids.write.mode("overwrite").parquet(c_path)
+    return ivf_topk_from_index(
+        emb,
+        spark.read.parquet(a_path),
+        spark.read.parquet(c_path),
+        n_queries=10,
+        k=5,
+        n_probe=2,
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH a AS (SELECT * FROM read_parquet('{_MATERIALIZE_DIR}/ivf_assignments.parquet/*.parquet')),
+c AS (SELECT * FROM read_parquet('{_MATERIALIZE_DIR}/ivf_centroids.parquet/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+qc AS (
+  SELECT query_id, qe, bucket,
+         {_DOT_SQL.format(a='qe', b='centroid')} /
+         sqrt({_DOT_SQL.format(a='qe', b='qe')} * {_DOT_SQL.format(a='centroid', b='centroid')}) AS c_sim
+  FROM q CROSS JOIN c),
+probes AS (
+  SELECT query_id, qe, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, bucket) AS crank
+    FROM qc)
+  WHERE crank <= 2),
+scored AS (
+  SELECT query_id, e.vec_id, {_cos_sql('qe', 'embedding')} AS cos_sim
+  FROM embeddings e
+  JOIN a ON e.vec_id = a.vec_id
+  JOIN probes p ON a.bucket = p.bucket
+  WHERE e.vec_id <> query_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return ann.embedding_near_dups(
         load(spark, sf, "embeddings"), threshold=0.2, n_dims=8
@@ -684,15 +743,6 @@ SELECT p_partkey, p_name, pattern
 FROM part JOIN (VALUES ('%red%'), ('%blue%'), ('%bolt%')) v(pattern)
 ON p_name LIKE pattern
 """
-
-
-# The media/eval aggregates below are hash-verified by MATERIALIZING the
-# non-SQL-expressible stage (mapInArrow line extraction, cogrouped greedy
-# IoU matching) to parquet, then aggregating those identical rows in BOTH
-# engines: Spark reads the parquet back, the DuckDB oracle reads it via
-# read_parquet. The driver runs the Spark callable first, so the file is
-# in place when the SQL runs.
-_MATERIALIZE_DIR = "/tmp/spark_graft_oracle"
 
 
 def _materialize_line_features(spark: SparkSession) -> str:
@@ -866,6 +916,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
     "extract_pipeline": (q_extract_pipeline, None),
     "greedy_dedup": (q_greedy_dedup, None),

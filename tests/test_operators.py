@@ -126,3 +126,32 @@ def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 15
     assert got.filter("epoch_id = 0").count() == 12
+
+
+def test_ivf_topk_exact_on_separated_clusters(spark):
+    """IVF with a KMeans quantizer recovers the exact brute-force
+    neighbours when clusters are well separated (every true neighbour
+    shares the query's cluster, so probing it suffices)."""
+    import random
+
+    from cadastral_map_ocr_system_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(3)
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(emb, n_queries=6, k=4, n_clusters=3, n_probe=1).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, n_queries=6, k=4).collect()
+    }
+    assert got == want

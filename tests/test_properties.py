@@ -89,3 +89,64 @@ def test_nms_keeps_subset_and_is_stable(items):
     assert py_nms([boxes[i] for i in kept], [confs[i] for i in kept]) == list(
         range(len(kept))
     )
+
+
+# ----------------------------------------------- normalization kernels
+import numpy as np  # noqa: E402
+
+from cadastral_map_ocr_system_spark.operators.mediapath import tile_origins  # noqa: E402
+from cadastral_map_ocr_system_spark.operators.normalize import (  # noqa: E402
+    invert_if_negative,
+    morph_open,
+)
+from cadastral_map_ocr_system_spark.templates import nn_resize  # noqa: E402
+
+def _grid_from_seed(seed: int) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    h, w = rs.randint(1, 40), rs.randint(1, 40)
+    return rs.randint(0, 256, size=(h, w), dtype=np.uint8)
+
+
+grids = st.integers(0, 2**31 - 1).map(_grid_from_seed)
+
+
+@given(grids)
+@settings(max_examples=100)
+def test_morph_open_idempotent_and_antiextensive(g):
+    m = g > 32
+    o = morph_open(m)
+    assert (morph_open(o) == o).all()   # idempotent
+    assert not (o & ~m).any()           # opening never adds pixels
+
+
+@given(grids)
+@settings(max_examples=100)
+def test_invert_if_negative_idempotent_and_dark_majority(g):
+    n1 = invert_if_negative(g)
+    assert (invert_if_negative(n1) == n1).all()
+    assert int((n1 > 127).sum()) * 2 <= n1.size  # normalized: dark majority
+
+
+@given(grids, st.integers(1, 50), st.integers(1, 50))
+@settings(max_examples=100)
+def test_nn_resize_preserves_corners_and_values(g, h, w):
+    m = g > 100
+    r = nn_resize(m, h, w)
+    assert r.shape == (h, w)
+    assert r[0, 0] == m[0, 0]
+    if h >= 2 and w >= 2:  # a 1-cell axis collapses onto the first sample
+        assert r[-1, -1] == m[-1, -1]  # endpoint-preserving
+    assert (nn_resize(m, *m.shape) == m).all()  # same-size identity
+
+
+@given(st.integers(1, 5000))
+@settings(max_examples=200)
+def test_tile_origins_cover(n):
+    from cadastral_map_ocr_system_spark.operators.mediapath import (
+        TILE_SIZE,
+        TILE_STRIDE,
+    )
+
+    starts = tile_origins(n)
+    assert starts[0] == 0 and starts[-1] + TILE_SIZE >= n
+    assert all(b - a == TILE_STRIDE for a, b in zip(starts, starts[1:]))

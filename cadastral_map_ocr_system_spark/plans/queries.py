@@ -632,6 +632,52 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM ranked WHERE ra
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 clustering: distributed KMeans over the embeddings; the
+    materialized assignments are profiled per cluster (size + mean
+    within-cluster cosine to the centroid) in both engines."""
+    from ..operators.ann import cosine, ivf_assignments
+
+    emb = load(spark, sf, "embeddings")
+    assigned, centroids = ivf_assignments(emb, n_clusters=8, seed=7)
+    a_path = f"{_MATERIALIZE_DIR}/kmeans_assignments.parquet"
+    c_path = f"{_MATERIALIZE_DIR}/kmeans_centroids.parquet"
+    assigned.write.mode("overwrite").parquet(a_path)
+    centroids.write.mode("overwrite").parquet(c_path)
+    a = spark.read.parquet(a_path)
+    c = spark.read.parquet(c_path)
+    # per-row cosines round to 6 dp then sum in DECIMAL: exact and
+    # order-independent, so the mean is reproducible across engines
+    # (a float AVG's addition order is not)
+    cs6 = F.round(cosine(F.col("embedding"), F.col("centroid")), 6).cast(
+        "decimal(12,6)"
+    )
+    return (
+        emb.join(a, "vec_id")
+        .join(F.broadcast(c), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum(cs6).cast("double") / F.count("*"), 6).alias(
+                "mean_cos_to_centroid"
+            ),
+        )
+    )
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH a AS (SELECT * FROM read_parquet('{_MATERIALIZE_DIR}/kmeans_assignments.parquet/*.parquet')),
+c AS (SELECT * FROM read_parquet('{_MATERIALIZE_DIR}/kmeans_centroids.parquet/*.parquet')),
+j AS (
+  SELECT a.bucket,
+         CAST({_cos_sql('embedding', 'centroid')} AS DECIMAL(12,6)) AS cs6
+  FROM embeddings e JOIN a ON e.vec_id = a.vec_id JOIN c ON a.bucket = c.bucket)
+SELECT bucket, COUNT(*) AS n_vecs,
+       round(CAST(SUM(cs6) AS DOUBLE) / COUNT(*), 6) AS mean_cos_to_centroid
+FROM j GROUP BY bucket
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return ann.embedding_near_dups(
         load(spark, sf, "embeddings"), threshold=0.2, n_dims=8
@@ -917,6 +963,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
     "extract_pipeline": (q_extract_pipeline, None),
     "greedy_dedup": (q_greedy_dedup, None),

@@ -87,6 +87,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            # a corrupt payload in a media batch must surface as a codec
+            # ValueError, not a struct.error from a short CRC slice
+            raise ValueError(f"truncated PNG chunk {tag!r}")
         body = payload[pos + 8 : pos + 8 + length]
         expect = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != expect:
@@ -124,15 +128,20 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+        elif f == 1:
+            # Sub is a per-lane prefix sum mod 256 (cur[i] = line[i] +
+            # cur[i-bpp]): vectorized as a cumsum within each bpp lane —
+            # the hot filter on real encoders, so no per-pixel Python
+            cur = np.empty(stride, dtype=np.int64)
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: genuinely left-sequential
             cur = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 c = prev[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    cur[i] = (line[i] + a) & 0xFF
-                elif f == 3:
+                if f == 3:
                     cur[i] = (line[i] + (a + b) // 2) & 0xFF
                 else:
                     cur[i] = (line[i] + _paeth(int(a), int(b), int(c))) & 0xFF

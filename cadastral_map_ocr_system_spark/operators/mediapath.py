@@ -325,9 +325,23 @@ def extract_regions_tiled(
     min_coverage: skip tiles whose foreground fraction is <= this
     (0.0 = skip only all-background tiles, which is lossless; the
     reference uses 0.10 as a lossy speed heuristic, detect.py:1358).
-    stats, if given, accrues {'n_tiles', 'n_tiles_skipped'}.
+    stats, if given, accrues {'n_tiles', 'n_tiles_skipped',
+    'n_oversized_fallback'}.
     max_untiled: grids whose max dimension is at or under this take the
     single-pass path (see module comment); tests pass 0 to force tiling.
+
+    Oversized-component guard: a component larger than
+    TILE_SIZE - TILE_STRIDE - 2*TILE_EDGE_MARGIN px violates the
+    exactness contract — it touches the edge margin in every tile, so
+    the margin rule would drop it everywhere (the reference instead
+    keeps clipped detections and NMS-suppresses duplicates,
+    detect.py:1344-1419). Rather than losing detections silently, every
+    margin-rejected fragment is checked against the accepted set: a
+    fragment whose absolute bbox is not contained in any accepted
+    region's bbox means some component was dropped in every tile, and
+    the payload FALLS BACK to single-pass segmentation (correctness
+    over the per-tile memory bound, counted in
+    stats['n_oversized_fallback']).
     """
     h, w = grid.shape
     if h <= max(tile, max_untiled) and w <= max(tile, max_untiled):
@@ -336,6 +350,7 @@ def extract_regions_tiled(
             stats.setdefault("n_tiles_skipped", 0)
         return extract_regions(grid, open_mask=open_mask)
     seen: dict[tuple, dict] = {}
+    rejected: list[tuple[int, int, int, int]] = []  # absolute clipped bboxes
     n_tiles = n_skipped = 0
     m = TILE_EDGE_MARGIN
     for sy in tile_origins(h, tile, stride):
@@ -359,6 +374,7 @@ def extract_regions_tiled(
                     and (y1 < th - m or sy + th == h)
                     and (x1 < tw - m or sx + tw == w)
                 ):
+                    rejected.append((sy + y0, sx + x0, sy + y1, sx + x1))
                     continue
                 key = (sy + y0, sx + x0, reg["h"], reg["w"], reg["token"])
                 if key not in seen:
@@ -372,6 +388,23 @@ def extract_regions_tiled(
     if stats is not None:
         stats["n_tiles"] = stats.get("n_tiles", 0) + n_tiles
         stats["n_tiles_skipped"] = stats.get("n_tiles_skipped", 0) + n_skipped
+    # contract check: every clipped fragment must be contained in some
+    # accepted region (its unclipped twin from another tile); an orphan
+    # fragment means an oversized component was dropped in every tile
+    accepted_boxes = [
+        (r["ymin"], r["xmin"], r["ymin"] + r["h"] - 1, r["xmin"] + r["w"] - 1)
+        for r in seen.values()
+    ]
+    for fy0, fx0, fy1, fx1 in rejected:
+        if not any(
+            ay0 <= fy0 and ax0 <= fx0 and fy1 <= ay1 and fx1 <= ax1
+            for ay0, ax0, ay1, ax1 in accepted_boxes
+        ):
+            if stats is not None:
+                stats["n_oversized_fallback"] = (
+                    stats.get("n_oversized_fallback", 0) + 1
+                )
+            return extract_regions(grid, open_mask=open_mask)
     regions = list(seen.values())
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions
@@ -473,28 +506,49 @@ def merge_line_segments(
     each group collapses to its longest member (first-come wins ties —
     the reference pops an existing line only when strictly shorter),
     annotated with n_merged. Input order (sorted by (y1,x1)) makes the
-    greedy pass deterministic."""
-    groups: list[list[dict]] = []
+    greedy pass deterministic.
+
+    Scale: group heads are indexed in a midpoint grid with cell size
+    dist_tol, so each segment probes only the 3x3 neighbouring cells
+    instead of scanning every head — ~O(n) per payload. (The reference's
+    real maps carry ~71k raw segments each, BASELINE.md; a linear scan
+    over heads would dominate there.) Joining the EARLIEST-created
+    matching head preserves the reference's first-match-in-creation-
+    order semantics exactly; per-cell head counts are bounded because
+    two heads in one cell must differ in angle by >= angle_tol
+    (otherwise the later one would have joined the earlier)."""
+    heads: list[tuple[dict, float, float]] = []  # (head seg, mid x, mid y)
+    best: list[dict] = []
+    counts: list[int] = []
+    cells: dict[tuple[int, int], list[int]] = {}
+    d2 = dist_tol * dist_tol
     for ln in lines:
-        mid = ((ln["x1"] + ln["x2"]) / 2.0, (ln["y1"] + ln["y2"]) / 2.0)
-        for g in groups:
-            f = g[0]
-            da = abs(ln["angle"] - f["angle"])
-            da = min(da, 180.0 - da)
-            fmid = ((f["x1"] + f["x2"]) / 2.0, (f["y1"] + f["y2"]) / 2.0)
-            dist = ((mid[0] - fmid[0]) ** 2 + (mid[1] - fmid[1]) ** 2) ** 0.5
-            if da < angle_tol and dist < dist_tol:
-                g.append(ln)
-                break
+        mx = (ln["x1"] + ln["x2"]) / 2.0
+        my = (ln["y1"] + ln["y2"]) / 2.0
+        cx, cy = int(mx // dist_tol), int(my // dist_tol)
+        gi_match: int | None = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                for gi in cells.get((cx + dx, cy + dy), ()):
+                    if gi_match is not None and gi >= gi_match:
+                        continue
+                    f, fmx, fmy = heads[gi]
+                    da = abs(ln["angle"] - f["angle"])
+                    da = min(da, 180.0 - da)
+                    if da < angle_tol and (
+                        (mx - fmx) ** 2 + (my - fmy) ** 2
+                    ) < d2:
+                        gi_match = gi
+        if gi_match is None:
+            cells.setdefault((cx, cy), []).append(len(heads))
+            heads.append((ln, mx, my))
+            best.append(ln)
+            counts.append(1)
         else:
-            groups.append([ln])
-    merged = []
-    for g in groups:
-        best = g[0]
-        for ln in g[1:]:
-            if ln["length"] > best["length"]:
-                best = ln
-        merged.append({**best, "n_merged": len(g)})
+            counts[gi_match] += 1
+            if ln["length"] > best[gi_match]["length"]:
+                best[gi_match] = ln
+    merged = [{**b, "n_merged": c} for b, c in zip(best, counts)]
     merged.sort(key=lambda r: (r["y1"], r["x1"]))
     return merged
 

@@ -30,7 +30,15 @@ STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
 # that stage to parquet here; both engines then aggregate/search over
 # the identical rows (Spark reads the parquet back, DuckDB uses
 # read_parquet). The driver runs the Spark callable before the SQL.
-_MATERIALIZE_DIR = "/tmp/spark_graft_oracle"
+#
+# The dir is scoped per-process (pid): concurrent verification/bench
+# runs never overwrite each other, and a stale prior run's parquet can
+# never be read — the SQL strings below embed the same pid-scoped path
+# at import time, and the Spark callable that writes it runs in the
+# same process as the DuckDB side that reads it.
+import os as _os  # noqa: E402
+
+_MATERIALIZE_DIR = f"/tmp/spark_graft_oracle_{_os.getpid()}"
 
 
 # --------------------------------------------------------------------- TPC-H-ish

@@ -78,3 +78,84 @@ def test_fixture_angle_spectrum_has_many_bins():
         for ln in mp.merge_line_segments(mp.extract_line_segments(grid)):
             bins.add(int(ln["angle"] // 30))
     assert len(bins) > 2, bins
+
+
+def _merge_brute(lines, angle_tol=5.0, dist_tol=10.0):
+    """The pre-spatial-hash reference greedy: scan ALL group heads in
+    creation order, join the first match (parity oracle for the grid-
+    hash implementation)."""
+    groups = []
+    for ln in lines:
+        mid = ((ln["x1"] + ln["x2"]) / 2.0, (ln["y1"] + ln["y2"]) / 2.0)
+        for g in groups:
+            f = g[0]
+            da = abs(ln["angle"] - f["angle"])
+            da = min(da, 180.0 - da)
+            fmid = ((f["x1"] + f["x2"]) / 2.0, (f["y1"] + f["y2"]) / 2.0)
+            if da < angle_tol and (
+                (mid[0] - fmid[0]) ** 2 + (mid[1] - fmid[1]) ** 2
+            ) ** 0.5 < dist_tol:
+                g.append(ln)
+                break
+        else:
+            groups.append([ln])
+    out = []
+    for g in groups:
+        best = g[0]
+        for ln in g[1:]:
+            if ln["length"] > best["length"]:
+                best = ln
+        out.append({**best, "n_merged": len(g)})
+    out.sort(key=lambda r: (r["y1"], r["x1"]))
+    return out
+
+
+def _random_segments(n, span, seed):
+    import random
+
+    rng = random.Random(seed)
+    segs = []
+    for _ in range(n):
+        mx, my = rng.uniform(0, span), rng.uniform(0, span)
+        ang = rng.uniform(0, 180)
+        import math
+
+        ln = rng.uniform(15, 40)
+        dx = math.cos(math.radians(ang)) * ln / 2
+        dy = math.sin(math.radians(ang)) * ln / 2
+        p1 = (round(mx - dx, 2), round(my - dy, 2))
+        p2 = (round(mx + dx, 2), round(my + dy, 2))
+        (x1, y1), (x2, y2) = sorted([p1, p2], key=lambda p: (p[1], p[0]))
+        segs.append(
+            {"x1": x1, "y1": y1, "x2": x2, "y2": y2,
+             "length": round(ln, 2), "angle": ang % 180.0}
+        )
+    segs.sort(key=lambda r: (r["y1"], r["x1"]))
+    return segs
+
+
+def test_spatial_hash_merge_parity_with_brute_force():
+    """Grid-hash merge == all-heads greedy, on fixture payloads and on
+    dense random clouds (where cross-cell matches actually occur)."""
+    for i in range(30):
+        grid = decode_payload(media_payload(f"media://big/doc-{i:012d}/0"))
+        raw = mp.extract_line_segments(grid)
+        assert mp.merge_line_segments(raw) == _merge_brute(raw), i
+    for seed in range(5):
+        segs = _random_segments(400, span=120, seed=seed)  # dense
+        assert mp.merge_line_segments(segs) == _merge_brute(segs), seed
+
+
+def test_merge_scales_to_reference_density():
+    """~50k segments on a reference-sized 5300x4950 map merge in <1s
+    (the reference's real maps average ~71k raw segments, BASELINE.md;
+    the old all-heads scan was O(n*groups) and would dominate)."""
+    import time
+
+    segs = _random_segments(50_000, span=5000, seed=9)
+    t0 = time.perf_counter()
+    merged = mp.merge_line_segments(segs)
+    dt = time.perf_counter() - t0
+    assert 0 < len(merged) <= len(segs)
+    assert sum(m["n_merged"] for m in merged) == len(segs)
+    assert dt < 1.0, dt

@@ -107,3 +107,64 @@ def test_media_metadata_on_real_png(spark):
     (tex,) = texture_features(df).collect()
     assert abs(tex["mean_intensity"] - float(grid.mean())) < 1e-9
     assert tex["gradient_mean"] > 0 and tex["entropy"] > 0
+
+
+def test_truncated_chunk_raises_codec_error():
+    """A chunk whose declared length runs past the payload end must be a
+    ValueError (codec error), never a struct.error from a short slice."""
+    p = encode_png_gray(np.arange(16, dtype=np.uint8).reshape(4, 4))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(p[:-4])  # IEND header readable, CRC slice short
+    # corrupt a length field to point far past the end
+    bad = bytearray(p)
+    bad[8:12] = struct.pack(">I", 10_000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bytes(bad))
+
+
+def _decode_sub_naive(raw_line: np.ndarray, bpp: int) -> np.ndarray:
+    cur = np.zeros(len(raw_line), dtype=np.int64)
+    for i in range(len(raw_line)):
+        a = cur[i - bpp] if i >= bpp else 0
+        cur[i] = (int(raw_line[i]) + a) & 0xFF
+    return cur
+
+
+def test_sub_filter_vectorized_correct_and_fast():
+    """Filter-1 (Sub) scanlines decode via per-lane cumsum: exact vs the
+    per-pixel recurrence, and >=10x faster on a 1024x1024 image."""
+    import time
+
+    rng = np.random.RandomState(3)
+    h = w = 1024
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    # encode every scanline with filter 1: delta within the row
+    rows = []
+    for y in range(h):
+        line = img[y].astype(np.int64)
+        deltas = np.empty(w, dtype=np.uint8)
+        deltas[0] = line[0]
+        deltas[1:] = (line[1:] - line[:-1]) & 0xFF
+        rows.append(b"\x01" + deltas.tobytes())
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+    t0 = time.perf_counter()
+    out = decode_png(png)
+    t_vec = time.perf_counter() - t0
+    assert np.array_equal(out, img)
+
+    t0 = time.perf_counter()
+    for y in range(h):
+        got = _decode_sub_naive(
+            np.frombuffer(raw, np.uint8, count=w, offset=y * (w + 1) + 1), 1
+        )
+        if y == 0:
+            assert np.array_equal(got.astype(np.uint8), img[0])
+    t_naive = time.perf_counter() - t0
+    assert t_naive / t_vec >= 10, (t_naive, t_vec)

@@ -77,3 +77,29 @@ def test_lossy_coverage_threshold_skips_sparse_tiles():
     regs = extract_regions_tiled(g, min_coverage=0.10, stats=stats, max_untiled=0)
     assert regs == []  # reference's 10% heuristic is lossy by design
     assert stats["n_tiles_skipped"] == stats["n_tiles"]
+
+
+def test_oversized_component_triggers_untiled_fallback():
+    """A component bigger than the tiling exactness bound (60 px) is
+    margin-rejected in every tile; the orphan-fragment guard must detect
+    it and fall back to single-pass segmentation instead of silently
+    dropping the detection."""
+    g = np.zeros((600, 600), dtype=np.uint8)
+    g[100:400, 100:112] = FILL  # 300 px tall: taller than a tile — it is
+    # clipped (margin-rejected) in every tile that sees it
+    g[450:458, 30:50] = FILL    # normal region, kept either way
+    stats: dict = {}
+    regs = extract_regions_tiled(g, stats=stats)
+    assert regs == extract_regions(g)
+    assert {(r["ymin"], r["xmin"]) for r in regs} == {(100, 100), (450, 30)}
+    assert stats["n_oversized_fallback"] == 1
+
+
+def test_no_fallback_on_contract_respecting_payloads():
+    stats: dict = {}
+    g = np.zeros((600, 600), dtype=np.uint8)
+    g[10:30, 250:270] = FILL   # 20x20, near a tile seam (256/192 grid)
+    g[250:258, 190:214] = FILL
+    regs = extract_regions_tiled(g, stats=stats)
+    assert regs == extract_regions(g)
+    assert stats.get("n_oversized_fallback", 0) == 0

@@ -701,37 +701,115 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.2
 """
 
 
-# -------------------------------------------------------- extraction (rows-only)
+# ------------------------------------------------------------- extraction
+# The mapInArrow media path and the greedy stateful dedup are not
+# SQL-expressible, but their RESULTS are hash-verifiable: the Spark
+# callable ALSO runs the independent single-process oracle (oracle.py)
+# over the same deterministic corpus and writes the oracle's rows to
+# parquet; the paired "oracle SQL" is then a plain SELECT over that
+# parquet. The driver's value-hash comparison of the two result sets IS
+# the pipeline-equals-oracle check, upgraded from rows-only to full
+# row/schema/hash verification.
+_EXTRACT_N_DOCS, _EXTRACT_SEED, _EXTRACT_SKEW = 300, 42, 0.02
+
+
+def _write_oracle_parquet(rows: list[dict], arrow_schema, path: str) -> None:
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    _pq.write_table(_pa.Table.from_pylist(rows, schema=arrow_schema), path)
+
+
 def q_extract_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """The flagship extraction pipeline over the synthetic interleaved
-    corpus (rows-only: the mapInArrow media path and greedy stateful
-    dedup are not SQL-expressible; pytest checks it against the
-    independent oracle)."""
-    from .. import synth
+    """Flagship extraction pipeline vs the independent Python oracle,
+    both as flat (doc_id, order, kind, text, media_ref) rows."""
+    import pyarrow as _pa
+
+    from .. import oracle, synth
     from .pipeline import extract
 
-    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
-    out = extract(docs)
-    return out.select(
+    golden = oracle.extract_corpus(
+        synth.synth_docs_pylist(_EXTRACT_N_DOCS, seed=_EXTRACT_SEED,
+                                skew_frac=_EXTRACT_SKEW)
+    )
+    rows = [
+        {"doc_id": d, "order": t[3], "kind": t[0], "text": t[1], "media_ref": t[2]}
+        for d, seq in golden.items()
+        for t in seq
+    ]
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("order", _pa.int32()), ("kind", _pa.string()),
+         ("text", _pa.string()), ("media_ref", _pa.string())]
+    )
+    _write_oracle_parquet(rows, schema, f"{_MATERIALIZE_DIR}/extract_oracle.parquet")
+
+    docs = synth.synth_docs_df(spark, _EXTRACT_N_DOCS, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
+    return extract(docs).select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
         "doc_id",
-        F.size("spans").cast("int").alias("n_spans"),
-        F.to_json("spans").alias("spans_json"),
+        F.col("span.order").alias("order"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
     )
 
 
+SQL_EXTRACT_PIPELINE = f"""
+SELECT doc_id, "order", kind, text, media_ref
+FROM read_parquet('{_MATERIALIZE_DIR}/extract_oracle.parquet')
+"""
+
+
 def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """W1-W3 greedy dedup on media detections (rows-only: order-dependent
-    greedy loop; pytest unit-checks semantics)."""
-    from .. import synth
+    """W1-W3 greedy dedup of media detections vs the oracle's
+    independent greedy loop (value-hash verified via the materialized
+    oracle rows; the loop itself stays non-SQL)."""
+    import pyarrow as _pa
+
+    from .. import oracle, synth
     from ..operators.dedup import dedup_detections
     from ..operators.mediapath import media_detections
     from .pipeline import explode_spans
 
-    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    docs_py = synth.synth_docs_pylist(_EXTRACT_N_DOCS, seed=_EXTRACT_SEED,
+                                      skew_frac=_EXTRACT_SKEW)
+    rows = []
+    for doc in docs_py:
+        media_rows = []
+        for span in doc["spans"]:
+            if span["kind"] == "media":
+                media_rows.extend(
+                    oracle._media_records(doc["doc_id"], span["offset"],
+                                          span["media_ref"])
+                )
+        for r in oracle._dedup(media_rows):
+            rows.append(
+                {"doc_id": doc["doc_id"], "offset": r["offset"],
+                 "region_idx": r["region_idx"], "text": r["text"],
+                 "conf": r["conf"]}
+            )
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("offset", _pa.int32()),
+         ("region_idx", _pa.int32()), ("text", _pa.string()),
+         ("conf", _pa.float64())]
+    )
+    _write_oracle_parquet(rows, schema, f"{_MATERIALIZE_DIR}/dedup_oracle.parquet")
+
+    docs = synth.synth_docs_df(spark, _EXTRACT_N_DOCS, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
     media = explode_spans(docs).filter(F.col("kind") == "media")
     return dedup_detections(media_detections(media)).select(
-        "doc_id", "offset", "region_idx", "text", F.round("conf", 6).alias("conf")
+        "doc_id", "offset", "region_idx", "text", "conf"
     )
+
+
+SQL_GREEDY_DEDUP = f"""
+SELECT doc_id, "offset", region_idx, text, conf
+FROM read_parquet('{_MATERIALIZE_DIR}/dedup_oracle.parquet')
+"""
 
 
 def q_padded_zip(spark: SparkSession, sf: str) -> DataFrame:
@@ -973,8 +1051,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
-    "extract_pipeline": (q_extract_pipeline, None),
-    "greedy_dedup": (q_greedy_dedup, None),
+    "extract_pipeline": (q_extract_pipeline, SQL_EXTRACT_PIPELINE),
+    "greedy_dedup": (q_greedy_dedup, SQL_GREEDY_DEDUP),
     "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
     "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),

@@ -72,6 +72,78 @@ def route_category(img: np.ndarray, bbox: tuple[int, int, int, int]) -> str | No
     return COLOR_ROUTING[c] if c else None
 
 
+COLOR_ROUTE_SCHEMA = (
+    "doc_id string, offset int, region_idx int, color string, "
+    "category string, token string, accepted boolean"
+)
+
+
+def color_route_features(media_spans_df: DataFrame) -> DataFrame:
+    """mapInArrow stage: RGB media spans -> one row per token region
+    with its dominant ink color, the routed field category
+    (red->number, black->name, blue->water; OCR/src/detect.py:226-330),
+    and whether the category's validator accepted the cleaned token.
+    Non-RGB payloads contribute no rows (no color information)."""
+    import pyarrow as pa
+
+    from ..functions.text import py_clean_token
+    from ..synth import decode_payload_any
+
+    schema_arrow = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("offset", pa.int32()),
+            pa.field("region_idx", pa.int32()),
+            pa.field("color", pa.string()),
+            pa.field("category", pa.string()),
+            pa.field("token", pa.string()),
+            pa.field("accepted", pa.bool_()),
+        ]
+    )
+
+    def gen(batches):
+        from .mediapath import _resolve_payload, classify_token, extract_regions
+
+        buf = []
+        for batch in batches:
+            for doc_id, offset, ref in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("offset").to_pylist(),
+                batch.column("media_ref").to_pylist(),
+            ):
+                gray, img = decode_payload_any(_resolve_payload(ref))
+                if img is None:
+                    continue
+                for i, reg in enumerate(extract_regions(gray, open_mask=True)):
+                    if not reg["token"]:
+                        continue
+                    color = dominant_color(
+                        img, (reg["xmin"], reg["ymin"], reg["w"], reg["h"])
+                    )
+                    category = COLOR_ROUTING[color] if color else None
+                    clean = py_clean_token(reg["token"])
+                    buf.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": offset,
+                            "region_idx": i,
+                            "color": color,
+                            "category": category,
+                            "token": clean,
+                            "accepted": classify_token(clean, category) is not None,
+                        }
+                    )
+            if len(buf) >= 4096:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema_arrow)
+                buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema_arrow)
+
+    return media_spans_df.select("doc_id", "offset", "media_ref").mapInArrow(
+        gen, schema=COLOR_ROUTE_SCHEMA
+    )
+
+
 def color_coverage_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """DataFrame stage: (ref, payload[PNG-RGB]) -> one row per (ref,
     color family) with the cleaned-mask coverage ratio."""

@@ -36,7 +36,16 @@ from ..functions.text import (
     py_is_valid_number,
 )
 from ..schema import DETECTIONS_ARROW
-from ..synth import BIN_THRESHOLD, FILL, MIN_AREA, decode_payload, media_payload
+from ..synth import (
+    BIN_THRESHOLD,
+    FILL,
+    LOWC_TOKEN_BASE,
+    LOWC_TOKEN_SHIFT,
+    MIN_AREA,
+    decode_payload,
+    decode_payload_any,
+    media_payload,
+)
 
 OUTPUT_CHUNK_ROWS = 4096
 
@@ -182,11 +191,11 @@ def _component_angle(c: dict) -> tuple[float, float] | None:
     return angle, l1 / max(l2, 1e-9)
 
 
-def estimate_skew_angle(grid: np.ndarray) -> float:
+def _median_angle(comps: list[dict]) -> float:
     """Median principal-axis angle over elongated components (the
     reference takes the median over text-box angles)."""
     angles = []
-    for c in _components(grid):
+    for c in comps:
         a = _component_angle(c)
         if a is not None:
             angles.append(a[0])
@@ -195,6 +204,10 @@ def estimate_skew_angle(grid: np.ndarray) -> float:
     angles.sort()
     m = len(angles)
     return angles[m // 2] if m % 2 else (angles[m // 2 - 1] + angles[m // 2]) / 2.0
+
+
+def estimate_skew_angle(grid: np.ndarray) -> float:
+    return _median_angle(_components(grid))
 
 
 def rotate_grid(grid: np.ndarray, angle_deg: float) -> np.ndarray:
@@ -227,31 +240,17 @@ def deskew_grid(grid: np.ndarray) -> np.ndarray:
     return rotate_grid(grid, -angle)
 
 
-def extract_regions(grid: np.ndarray, open_mask: bool = False) -> list[dict]:
-    """Token regions: min-area filter -> token decode (E1+E4).
-
-    Regions sorted by (ymin, xmin), each with bbox, area, center, and
-    the decoded token (pixels whose value differs from the region fill
-    are token bytes). Components are pixel-disjoint by construction, so
-    no post-hoc overlap suppression is needed here (NMS is exposed
-    separately in operators/nms.py for overlapping detector outputs).
-
-    open_mask: apply the P3 morph-open cleanup to the binarized mask
-    first (identity on solid >=3x3 regions; removes 1-px scratches and
-    speckles on degraded payloads).
-    """
-    mask = grid > BIN_THRESHOLD
-    if open_mask:
-        from .normalize import morph_open
-
-        mask = morph_open(mask)
+def _regions_from_comps(comps: list[dict], tok_grid: np.ndarray) -> list[dict]:
+    """Min-area filter + token decode over labeled components: the
+    shared tail of extract_regions (also reused by the deskew path so
+    the estimate's labeling pass is not repeated)."""
     regions = []
-    for c in _components(grid, mask):
+    for c in comps:
         if c["area"] < MIN_AREA:
             continue  # min-area noise filter (symbol_detector.py:148,207)
         token_bytes = []
         for y, x0, x1 in sorted(c["runs"]):
-            vals = grid[y, x0:x1]
+            vals = tok_grid[y, x0:x1]
             token_bytes.extend(int(v) for v in vals[vals != FILL])
         token = "".join(chr(v) for v in token_bytes if 33 <= v <= 126)
         h = c["ymax"] - c["ymin"] + 1
@@ -267,6 +266,36 @@ def extract_regions(grid: np.ndarray, open_mask: bool = False) -> list[dict]:
         )
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions
+
+
+def extract_regions(
+    grid: np.ndarray, open_mask: bool = False, tok_grid: np.ndarray | None = None
+) -> list[dict]:
+    """Token regions: min-area filter -> token decode (E1+E4).
+
+    Regions sorted by (ymin, xmin), each with bbox, area, center, and
+    the decoded token (pixels whose value differs from the region fill
+    are token bytes). Components are pixel-disjoint by construction, so
+    no post-hoc overlap suppression is needed here (NMS is exposed
+    separately in operators/nms.py for overlapping detector outputs).
+
+    open_mask: apply the P3 morph-open cleanup to the binarized mask
+    first (identity on solid >=3x3 regions; removes 1-px scratches and
+    speckles on degraded payloads).
+
+    tok_grid: grid to read token bytes from when segmentation and
+    token read-out are decoupled (the gradient-lit path segments on the
+    locally-equalized grid while bytes live in the raw grid's high
+    band); defaults to `grid` itself.
+    """
+    mask = grid > BIN_THRESHOLD
+    if open_mask:
+        from .normalize import morph_open
+
+        mask = morph_open(mask)
+    return _regions_from_comps(
+        _components(grid, mask), grid if tok_grid is None else tok_grid
+    )
 
 
 # ----------------------------------------------------------- E3 tiling
@@ -318,6 +347,7 @@ def extract_regions_tiled(
     stats: dict | None = None,
     open_mask: bool = False,
     max_untiled: int = MAX_UNTILED,
+    tok_grid: np.ndarray | None = None,
 ) -> list[dict]:
     """Token regions via overlapped tiling; equals extract_regions for
     payloads whose components fit the exactness contract above.
@@ -344,11 +374,12 @@ def extract_regions_tiled(
     stats['n_oversized_fallback']).
     """
     h, w = grid.shape
+    tok = grid if tok_grid is None else tok_grid
     if h <= max(tile, max_untiled) and w <= max(tile, max_untiled):
         if stats is not None:  # single pass counts as one processed tile
             stats["n_tiles"] = stats.get("n_tiles", 0) + 1
             stats.setdefault("n_tiles_skipped", 0)
-        return extract_regions(grid, open_mask=open_mask)
+        return extract_regions(grid, open_mask=open_mask, tok_grid=tok)
     seen: dict[tuple, dict] = {}
     rejected: list[tuple[int, int, int, int]] = []  # absolute clipped bboxes
     n_tiles = n_skipped = 0
@@ -361,7 +392,8 @@ def extract_regions_tiled(
             if (sub > BIN_THRESHOLD).mean() <= min_coverage:
                 n_skipped += 1
                 continue
-            for reg in extract_regions(sub, open_mask=open_mask):
+            tsub = tok[sy : sy + tile, sx : sx + tile]
+            for reg in extract_regions(sub, open_mask=open_mask, tok_grid=tsub):
                 y0, x0 = reg["ymin"], reg["xmin"]
                 y1 = y0 + reg["h"] - 1
                 x1 = x0 + reg["w"] - 1
@@ -404,7 +436,7 @@ def extract_regions_tiled(
                 stats["n_oversized_fallback"] = (
                     stats.get("n_oversized_fallback", 0) + 1
                 )
-            return extract_regions(grid, open_mask=open_mask)
+            return extract_regions(grid, open_mask=open_mask, tok_grid=tok)
     regions = list(seen.values())
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions
@@ -591,7 +623,7 @@ def line_features(media_spans_df, merge: bool = True):
                 batch.column("offset").to_pylist(),
                 batch.column("media_ref").to_pylist(),
             ):
-                grid = decode_payload(_resolve_payload(ref))
+                grid, _img = decode_payload_any(_resolve_payload(ref))
                 segs = extract_line_segments(grid)
                 if merge:
                     segs = merge_line_segments(segs)
@@ -674,35 +706,99 @@ def greedy_dedup_payload(records: list[dict]) -> list[dict]:
     return kept
 
 
+def normalize_payload(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """P2 normalization -> (segmentation grid, token grid).
+
+    Polarity inversion first, then the gradient gate: when the
+    binarized foreground fraction exceeds GRADIENT_FG_FRAC, the
+    background itself leaks over the threshold — the scan is
+    gradient-lit and segmentation runs on the tile-local equalization
+    (the CLAHE analogue, preprocess.py:24-31) while token bytes are
+    read from the raw grid's high band (value - LOWC_TOKEN_SHIFT;
+    everything below LOWC_TOKEN_BASE is fill/background). Well-lit
+    scans pass through with seg == tok."""
+    from .normalize import GRADIENT_FG_FRAC, invert_if_negative, local_contrast_enhance
+
+    gray = invert_if_negative(gray)
+    if float((gray > BIN_THRESHOLD).mean()) > GRADIENT_FG_FRAC:
+        seg = local_contrast_enhance(gray)
+        tok = np.where(
+            gray >= LOWC_TOKEN_BASE, gray - np.uint8(LOWC_TOKEN_SHIFT), np.uint8(FILL)
+        ).astype(np.uint8)
+        return seg, tok
+    return gray, gray
+
+
+def classify_token(clean: str, category: str | None) -> bool | None:
+    """Classification driver: returns is_number, or None = rejected.
+
+    category is the ink-color routing verdict (red -> 'number',
+    black -> 'name', blue -> 'water', reference detect.py:226-330): the
+    color family's validator must accept the content or the detection
+    is rejected. With no color information (grayscale scans), fall back
+    to content-first classification (detect.py:419-472)."""
+    if category == "number":
+        return True if py_is_valid_number(clean) else None
+    if category in ("name", "water"):
+        return False if py_is_valid_name(clean) else None
+    if py_is_valid_number(clean):
+        return True
+    if py_is_valid_name(clean):
+        return False
+    return None
+
+
 def extract_media_records(
     doc_id: str,
     offset: int,
     media_ref: str,
     dedup: bool = True,
-    deskew: bool = False,
+    deskew: bool = True,
     stats: dict | None = None,
 ) -> list[dict]:
     """One media span -> N classified detection records.
 
+    Chain: decode (gray or RGB PNG) -> polarity inversion -> gradient
+    gate / tile-local equalization (P2) -> deskew (P4: median component
+    angle, rotate when |angle| > 0.5 deg — single-channel untiled
+    payloads only; the estimate reuses the same labeling pass as the
+    extraction, so straight payloads pay no second segmentation) ->
+    component segmentation + byte tokenizer (E1/E4, morph-opened mask)
+    -> ink-color routing on RGB payloads (red=numbers, black=names,
+    blue=water, detect.py:226-330) -> cleanup/classify -> greedy dedup.
+
     Payloads larger than one tile go through the overlapped-tiling
     segmentation (E3) so per-span memory is bounded by a tile, not the
     payload; stats (optional dict) accrues tile counts for lineage.
-
-    deskew: opt-in orientation correction (P4) for scanned/rotated
-    corpora. Off by default: the synthetic fixture is axis-aligned and
-    nearest-neighbour resampling of an already-straight payload can
-    reorder token pixels (observed: a borderline 0.6-degree estimate
-    scrambled one token), so the golden-invariant path never rotates.
+    Every stage is mirrored bit-for-bit by the single-process oracle
+    (oracle.py), so rotated / gradient-lit / colored fixture families
+    are covered by the golden span invariant end to end.
     """
-    from .normalize import invert_if_negative
+    from .normalize import morph_open
 
-    grid = invert_if_negative(decode_payload(_resolve_payload(media_ref)))
-    if deskew:
-        grid = deskew_grid(grid)
+    gray, img = decode_payload_any(_resolve_payload(media_ref))
+    seg, tok = normalize_payload(gray)
+
+    if img is None and deskew and max(seg.shape) <= MAX_UNTILED:
+        mask = morph_open(seg > BIN_THRESHOLD)
+        comps = _components(seg, mask)
+        angle = _median_angle(comps)
+        if abs(angle) > DESKEW_MIN_ANGLE:
+            seg2 = rotate_grid(seg, -angle)
+            tok2 = seg2 if tok is seg else rotate_grid(tok, -angle)
+            regions = extract_regions(seg2, open_mask=True, tok_grid=tok2)
+        else:
+            regions = _regions_from_comps(comps, tok)
+        if stats is not None:
+            stats["n_tiles"] = stats.get("n_tiles", 0) + 1
+            stats.setdefault("n_tiles_skipped", 0)
+    else:
+        regions = extract_regions_tiled(
+            seg, stats=stats, open_mask=True, tok_grid=tok
+        )
+
     out = []
-    for region_idx, reg in enumerate(
-        extract_regions_tiled(grid, stats=stats, open_mask=True)
-    ):
+    for region_idx, reg in enumerate(regions):
         token = reg["token"]
         if len(token) < 1:
             continue  # blob with no glyphs (detect.py:366-368 length gate)
@@ -710,12 +806,16 @@ def extract_media_records(
         if conf < MIN_CONF:
             continue
         clean = py_clean_token(token)
-        if py_is_valid_number(clean):
-            is_number = True
-        elif py_is_valid_name(clean):
-            is_number = False
-        else:
-            continue  # rejected by classify/noise rules
+        category = None
+        if img is not None:
+            from .colormask import route_category
+
+            category = route_category(
+                img, (reg["xmin"], reg["ymin"], reg["w"], reg["h"])
+            )
+        is_number = classify_token(clean, category)
+        if is_number is None:
+            continue  # rejected by routing/classify/noise rules
         out.append(
             {
                 "doc_id": doc_id,

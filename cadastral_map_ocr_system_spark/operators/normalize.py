@@ -48,6 +48,50 @@ def contrast_stretch(grid: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# --- P2 tile-local adaptive equalization (the CLAHE analogue,
+# OCR/src/preprocess.py:24-31). A gradient-lit scan defeats the global
+# stretch (the background itself spans the binarization threshold);
+# per-tile rank normalization recovers a clean ink/paper separation.
+LOCAL_EQ_TILE = 32        # tile edge, px
+LOCAL_EQ_PCT = 0.1        # low anchor: the tile's 10th-percentile value
+LOCAL_EQ_MIN_RANGE = 48   # contrast limit: flatter tiles are background
+GRADIENT_FG_FRAC = 0.5    # payload gate: binarized fg fraction above
+#                           this means the background leaks over the
+#                           threshold -> the scan is gradient-lit
+
+
+def local_contrast_enhance(
+    grid: np.ndarray,
+    tile: int = LOCAL_EQ_TILE,
+    pct: float = LOCAL_EQ_PCT,
+    min_range: int = LOCAL_EQ_MIN_RANGE,
+) -> np.ndarray:
+    """Per-tile rank stretch: anchor at the tile's pct-percentile value
+    (the background mode in a mostly-paper tile) and scale its max to
+    255; tiles whose value range is under min_range are uniform
+    background and map to 0 (the contrast-limit analogue — tiny ranges
+    are noise, never amplified).
+
+    Deterministic and idempotent: after one pass a mixed tile has >=
+    10% zeros and a 255 maximum, so the second pass is the identity;
+    flat tiles stay 0. (Pinned by tests/test_normalize.py.)"""
+    h, w = grid.shape
+    out = np.zeros((h, w), dtype=np.uint8)
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            sub = grid[ty : ty + tile, tx : tx + tile].astype(np.float64)
+            v = np.sort(sub.ravel())
+            lo = float(v[int(pct * v.size)])
+            hi = float(v[-1])
+            if hi - lo < min_range:
+                continue  # background tile
+            scaled = np.rint((sub - lo) * (255.0 / (hi - lo)))
+            out[ty : ty + tile, tx : tx + tile] = np.clip(scaled, 0, 255).astype(
+                np.uint8
+            )
+    return out
+
+
 def resize_cap(grid: np.ndarray, max_dim: int = RESIZE_CAP) -> np.ndarray:
     """Cap the longest edge at max_dim, preserving aspect ratio
     (detect.py:95-106), via endpoint-preserving NN decimation.

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 
-from ..synth import decode_payload
+from ..synth import decode_payload_any
 from ..templates import MATCH_THRESHOLD, TEMPLATES, nn_resize
 from .mediapath import OUTPUT_CHUNK_ROWS, _components, _resolve_payload
 
@@ -168,7 +168,7 @@ def template_match_features(media_spans_df, templates: dict | None = None):
                 batch.column("offset").to_pylist(),
                 batch.column("media_ref").to_pylist(),
             ):
-                grid = decode_payload(_resolve_payload(ref))
+                grid, _img = decode_payload_any(_resolve_payload(ref))
                 for i, m in enumerate(match_components(grid, tset)):
                     buf.append(
                         {"doc_id": doc_id, "offset": offset, "match_idx": i,

@@ -26,8 +26,27 @@ from .functions.text import (
     py_is_valid_number,
     py_strip_boilerplate,
 )
+from .operators.colormask import COLOR_ROUTING, COLOR_THRESHOLDS
 from .operators.mediapath import token_conf
-from .synth import BIN_THRESHOLD, FILL, MIN_AREA, decode_payload, media_payload
+from .operators.normalize import (
+    GRADIENT_FG_FRAC,
+    LOCAL_EQ_MIN_RANGE,
+    LOCAL_EQ_PCT,
+    LOCAL_EQ_TILE,
+)
+from .synth import (
+    BIN_THRESHOLD,
+    FILL,
+    LOWC_TOKEN_BASE,
+    LOWC_TOKEN_SHIFT,
+    MIN_AREA,
+    decode_payload,
+    decode_payload_any,
+    media_payload,
+)
+
+MAX_UNTILED_MIRROR = 512       # mediapath.MAX_UNTILED
+DESKEW_MIN_ANGLE_MIRROR = 0.5  # mediapath.DESKEW_MIN_ANGLE
 
 
 def _invert_if_negative(grid):
@@ -89,36 +108,152 @@ def _flood_components(grid, mask: set | None = None) -> list[list[tuple[int, int
     return comps
 
 
-def _flood_regions(grid) -> list[dict]:
-    """Token regions: morph-opened mask -> min-area filtered components
-    + decoded tokens (P3 cleanup mirrored)."""
+def _regions_from_pixels(comps: list[list[tuple[int, int]]], tok) -> list[dict]:
+    """Min-area filter + token decode over flood-filled components;
+    token bytes read from the (possibly separate) token grid."""
     regions = []
-    for pixels in _flood_components(grid, mask=_open_mask(grid)):
-            if len(pixels) < MIN_AREA:
-                continue
-            ys = [p[0] for p in pixels]
-            xs = [p[1] for p in pixels]
-            ymin, ymax, xmin, xmax = min(ys), max(ys), min(xs), max(xs)
-            token_chars = [
-                chr(grid[y][x])
-                for (y, x) in sorted(pixels)
-                if grid[y][x] != FILL and 33 <= grid[y][x] <= 126
-            ]
-            # bbox width convention matches the run-based labeler:
-            # runs are [x_start, x_end_exclusive), so w = xmax+1-xmin
-            rw = xmax + 1 - xmin
-            rh = ymax - ymin + 1
-            regions.append(
-                {
-                    "ymin": ymin,
-                    "xmin": xmin,
-                    "cx": xmin + rw / 2.0,
-                    "cy": ymin + rh / 2.0,
-                    "token": "".join(token_chars),
-                }
-            )
+    for pixels in comps:
+        if len(pixels) < MIN_AREA:
+            continue
+        ys = [p[0] for p in pixels]
+        xs = [p[1] for p in pixels]
+        ymin, ymax, xmin, xmax = min(ys), max(ys), min(xs), max(xs)
+        token_chars = [
+            chr(tok[y][x])
+            for (y, x) in sorted(pixels)
+            if tok[y][x] != FILL and 33 <= tok[y][x] <= 126
+        ]
+        # bbox width convention matches the run-based labeler:
+        # runs are [x_start, x_end_exclusive), so w = xmax+1-xmin
+        rw = xmax + 1 - xmin
+        rh = ymax - ymin + 1
+        regions.append(
+            {
+                "ymin": ymin,
+                "xmin": xmin,
+                "w": rw,
+                "h": rh,
+                "cx": xmin + rw / 2.0,
+                "cy": ymin + rh / 2.0,
+                "token": "".join(token_chars),
+            }
+        )
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions
+
+
+def _flood_regions(grid, tok=None) -> list[dict]:
+    """Token regions: morph-opened mask -> min-area filtered components
+    + decoded tokens (P3 cleanup mirrored)."""
+    return _regions_from_pixels(
+        _flood_components(grid, mask=_open_mask(grid)),
+        grid if tok is None else tok,
+    )
+
+
+def _local_enhance(grid):
+    """Independent mirror of normalize.local_contrast_enhance: per-tile
+    rank stretch, sorted-list percentile anchor, flat-tile gate."""
+    import math  # noqa: F401  (kept symmetric with the other mirrors)
+
+    h, w = grid.shape
+    import numpy as _np
+
+    out = _np.zeros((h, w), dtype=_np.int64)
+    t = LOCAL_EQ_TILE
+    for ty in range(0, h, t):
+        for tx in range(0, w, t):
+            vals = sorted(
+                int(grid[y][x])
+                for y in range(ty, min(ty + t, h))
+                for x in range(tx, min(tx + t, w))
+            )
+            lo = float(vals[int(LOCAL_EQ_PCT * len(vals))])
+            hi = float(vals[-1])
+            if hi - lo < LOCAL_EQ_MIN_RANGE:
+                continue
+            scale = 255.0 / (hi - lo)
+            for y in range(ty, min(ty + t, h)):
+                for x in range(tx, min(tx + t, w)):
+                    v = round((float(grid[y][x]) - lo) * scale)
+                    out[y][x] = min(max(v, 0), 255)
+    return out
+
+
+def _comp_angle(pixels) -> float | None:
+    """Mirror of mediapath._component_angle from raw pixel lists:
+    principal-axis angle with min-area and elongation gates."""
+    import math
+
+    n = len(pixels)
+    if n < MIN_AREA:
+        return None
+    sx = sum(x for _, x in pixels)
+    sy = sum(y for y, _ in pixels)
+    sxx = sum(x * x for _, x in pixels)
+    syy = sum(y * y for y, _ in pixels)
+    sxy = sum(y * x for y, x in pixels)
+    mx, my = sx / n, sy / n
+    cxx = sxx / n - mx * mx
+    cyy = syy / n - my * my
+    cxy = sxy / n - mx * my
+    tr = cxx + cyy
+    det = math.sqrt(max((cxx - cyy) ** 2 + 4 * cxy * cxy, 0.0))
+    l1, l2 = (tr + det) / 2.0, (tr - det) / 2.0
+    if l2 <= 1e-9 or l1 / max(l2, 1e-9) < 2.25:  # elongation 1.5^2
+        return None
+    angle = 0.5 * math.degrees(math.atan2(2 * cxy, cxx - cyy))
+    while angle >= 45:
+        angle -= 90
+    while angle < -45:
+        angle += 90
+    return angle
+
+
+def _median_comp_angle(comps) -> float:
+    angles = [a for a in (_comp_angle(p) for p in comps) if a is not None]
+    if not angles:
+        return 0.0
+    angles.sort()
+    m = len(angles)
+    return angles[m // 2] if m % 2 else (angles[m // 2 - 1] + angles[m // 2]) / 2.0
+
+
+def _rotate(grid, angle_deg: float):
+    """Mirror of mediapath.rotate_grid (per-pixel inverse NN map)."""
+    import math
+
+    import numpy as _np
+
+    h, w = grid.shape
+    rad = math.radians(angle_deg)
+    cos, sin = math.cos(rad), math.sin(rad)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    out = _np.zeros_like(grid)
+    for y in range(h):
+        for x in range(w):
+            xi = round(cos * (x - cx) + sin * (y - cy) + cx)
+            yi = round(-sin * (x - cx) + cos * (y - cy) + cy)
+            if 0 <= xi < w and 0 <= yi < h:
+                out[y][x] = grid[yi][xi]
+    return out
+
+
+def _dominant_category(img, x: int, y: int, w: int, h: int) -> str | None:
+    """Mirror of colormask.dominant_color + route_category: count pixels
+    of each color band in the bbox crop; most wins, ties alphabetical."""
+    best, best_n = None, 0
+    for color in sorted(COLOR_THRESHOLDS):
+        lo, hi = COLOR_THRESHOLDS[color]
+        n = 0
+        for yy in range(y, min(y + h, img.shape[0])):
+            for xx in range(x, min(x + w, img.shape[1])):
+                p = img[yy][xx]
+                if all(lo[c] <= p[c] <= hi[c] for c in range(3)):
+                    n += 1
+        if n > best_n:
+            best, best_n = color, n
+    return COLOR_ROUTING[best] if best else None
 
 
 def line_segments(grid) -> list[dict]:
@@ -240,9 +375,31 @@ def template_matches(grid) -> list[dict]:
 
 
 def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:
-    grid = _invert_if_negative(decode_payload(media_payload(ref)).astype(int))
+    import numpy as _np
+
+    gray, img = decode_payload_any(media_payload(ref))
+    grid = _invert_if_negative(gray.astype(int))
+    # gradient gate mirror (mediapath.normalize_payload)
+    n_fg = sum(1 for row in grid for v in row if v > BIN_THRESHOLD)
+    if n_fg / grid.size > GRADIENT_FG_FRAC:
+        seg = _local_enhance(grid)
+        tok = _np.where(grid >= LOWC_TOKEN_BASE, grid - LOWC_TOKEN_SHIFT, FILL)
+    else:
+        seg, tok = grid, grid
+    # deskew mirror (single-channel untiled payloads)
+    if img is None and max(grid.shape) <= MAX_UNTILED_MIRROR:
+        comps = _flood_components(seg, mask=_open_mask(seg))
+        angle = _median_comp_angle(comps)
+        if abs(angle) > DESKEW_MIN_ANGLE_MIRROR:
+            same = tok is seg
+            seg = _rotate(seg, -angle)
+            tok = seg if same else _rotate(tok, -angle)
+            comps = _flood_components(seg, mask=_open_mask(seg))
+        regions = _regions_from_pixels(comps, tok)
+    else:
+        regions = _flood_regions(seg, tok)
     out = []
-    for region_idx, reg in enumerate(_flood_regions(grid)):
+    for region_idx, reg in enumerate(regions):
         token = reg["token"]
         if len(token) < 1:
             continue
@@ -250,7 +407,21 @@ def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:
         if conf < MIN_CONF:
             continue
         clean = py_clean_token(token)
-        if py_is_valid_number(clean):
+        category = (
+            _dominant_category(img, reg["xmin"], reg["ymin"], reg["w"], reg["h"])
+            if img is not None
+            else None
+        )
+        # classification driver mirror (mediapath.classify_token)
+        if category == "number":
+            if not py_is_valid_number(clean):
+                continue
+            is_number = True
+        elif category in ("name", "water"):
+            if not py_is_valid_name(clean):
+                continue
+            is_number = False
+        elif py_is_valid_number(clean):
             is_number = True
         elif py_is_valid_name(clean):
             is_number = False

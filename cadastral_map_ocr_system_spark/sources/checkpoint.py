@@ -135,6 +135,12 @@ def run_extraction(
         n_tiles_group = tile_acc.value - tiles_before
         n_skips_group = tile_skip_acc.value - skips_before
 
+        # Tiling counts are commit-group-grain (accumulators cannot be
+        # split per bucket) and are stored on the group's FIRST bucket
+        # row only, so SUM(n_tiles) over the checkpoint table equals the
+        # run total instead of overstating by buckets_per_commit. They
+        # remain APPROXIMATE upper bounds: accumulators updated inside
+        # mapInArrow over-count on task retries/speculative re-execution.
         lineage = [
             {
                 "run_id": run_id,
@@ -145,8 +151,8 @@ def run_extraction(
                 "n_spans": int(in_stats[b]["n_spans"] or 0) if b in in_stats else 0,
                 "n_regions": int(out_stats[b]["n_regions"] or 0) if b in out_stats else 0,
                 "n_output_rows": int(out_stats[b]["n_output_rows"]) if b in out_stats else 0,
-                "n_tiles": int(n_tiles_group),
-                "n_tiles_skipped": int(n_skips_group),
+                "n_tiles": int(n_tiles_group) if b == group[0] else 0,
+                "n_tiles_skipped": int(n_skips_group) if b == group[0] else 0,
                 "wall_ms": wall_ms,
                 "attempt": 1,
             }

@@ -31,7 +31,7 @@ import pyarrow as pa
 MAGIC = b"CM01"
 # bump when generator output changes, so cached fixture corpora
 # (e.g. the bench corpus under /tmp) are regenerated rather than reused
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 FILL = 200          # region fill intensity
 # Binarization threshold. Must sit BELOW the printable-ASCII range
 # (33..126) so every token byte stamped into a region binarizes to
@@ -54,25 +54,61 @@ WORD_POOL = (
     "survey boundary village plot owner parcel field river road bridge "
     "temple school tank well forest hill stream canal border stone"
 ).split()
+# blue-ink water labels (reference blue family, OCR/src/detect.py:299-330)
+WATER_POOL = ["River", "Lake", "Pond", "Tank", "Stream", "Canal", "Jheel"]
 
 TEXT_H, TEXT_W = 72, 128      # normal payload canvas
 BIG_H, BIG_W = 240, 320       # multi-region skew payload canvas
 HUGE_H, HUGE_W = 648, 896     # oversized scan canvas (> MAX_UNTILED: tiled)
+
+# ---- RGB ink-colored scans (media://rgb/): white paper, colored ink.
+# Fill colors sit inside the colormask.COLOR_THRESHOLDS bands; the token
+# byte is stamped into the GREEN channel of the token row, so the
+# derived gray grid (see derive_gray_from_rgb) reuses the standard
+# byte-tokenizer convention unchanged.
+RGB_INKS = {"red": (180, 40, 40), "black": (40, 40, 40), "blue": (40, 40, 180)}
+RGB_FILL_G = 40  # green value marking "ink fill" (token bytes are never 40)
+
+# ---- gradient-lit low-contrast scans (media://lowc/): background ramps
+# 20..64 left-to-right (defeats a global min-max stretch: most of the
+# background binarizes foreground at BIN_THRESHOLD), ink fill at a
+# constant level, token bytes stored in the HIGH band [162, 255] as
+# byte + LOWC_TOKEN_SHIFT so they stay above the fill after the
+# tile-local equalization recovers the mask.
+LOWC_BG_LO, LOWC_BG_HI = 20, 64
+LOWC_FILL = 176
+LOWC_TOKEN_BASE = 162   # pixels >= this carry a token byte
+LOWC_TOKEN_SHIFT = 129  # stored value = token byte + shift
 
 
 # ------------------------------------------------------------- payloads
 def media_payload(media_ref: str) -> bytes:
     """Pure function media_ref -> payload bytes.
 
-    Refs under media://neg/ are DEGRADED scans: 1-px scratches attached
-    to region tops (removed by the P3 morph-open) and inverted polarity
-    (undone by the P2 negative-scan inversion) — the normalization
-    stage must recover the clean extraction from them.
+    Families by ref prefix:
+      media://        clean gray scan (CM01 container)
+      media://big/    multi-region skew payload
+      media://huge/   oversized scan (> MAX_UNTILED: exercises tiling)
+      media://neg/    DEGRADED scan: 1-px scratches attached to region
+                      tops (removed by the P3 morph-open) + inverted
+                      polarity (undone by the P2 inversion)
+      media://rot/    whole-grid rotation by 1.5-2.5 deg (exercises the
+                      P4 deskew end to end)
+      media://lowc/   gradient-lit low-contrast scan (exercises the P2
+                      tile-local equalization; a global stretch fails)
+      media://rgb/    RGB PNG, white paper + colored ink (exercises the
+                      P5/P6 color masks and red/black/blue routing)
     """
+    if media_ref.startswith("media://rgb/"):
+        return _rgb_payload(media_ref)
     rng = random.Random("payload:" + media_ref)
+    if media_ref.startswith("media://lowc/"):
+        grid = _lowc_grid(rng)
+        return MAGIC + struct.pack(">HH", *grid.shape) + grid.tobytes()
     huge = media_ref.startswith("media://huge/")
     big = media_ref.startswith("media://big/") or huge
     neg = media_ref.startswith("media://neg/")
+    rot = media_ref.startswith("media://rot/")
     h, w = (HUGE_H, HUGE_W) if huge else (BIG_H, BIG_W) if big else (TEXT_H, TEXT_W)
     cell_h, cell_w = 24, 32
     rows, cols = h // cell_h, w // cell_w
@@ -175,8 +211,123 @@ def media_payload(media_ref: str) -> bytes:
             if rng.random() < 0.6:
                 grid[max(y0 - 2, 0) : y0, x0 + 2] = FILL
         grid = 255 - grid  # polarity flip (negative scan)
+    if rot:
+        grid = _rotate_nn(grid, rng.choice([-2.5, -1.5, 1.5, 2.5]))
 
     return MAGIC + struct.pack(">HH", h, w) + grid.tobytes()
+
+
+def _rotate_nn(grid: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Generation-side nearest-neighbour rotation about the center (any
+    deterministic resampling works here — it defines the fixture; the
+    PIPELINE's deskew rotation is mirrored separately by the oracle)."""
+    import math
+
+    h, w = grid.shape
+    rad = math.radians(angle_deg)
+    cos, sin = math.cos(rad), math.sin(rad)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = np.mgrid[0:h, 0:w]
+    xr = cos * (xs - cx) + sin * (ys - cy) + cx
+    yr = -sin * (xs - cx) + cos * (ys - cy) + cy
+    xi = np.rint(xr).astype(np.int64)
+    yi = np.rint(yr).astype(np.int64)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out = np.zeros_like(grid)
+    out[valid] = grid[yi[valid], xi[valid]]
+    return out
+
+
+def _lowc_grid(rng: random.Random) -> np.ndarray:
+    """Gradient-lit low-contrast canvas: bg ramps LOWC_BG_LO..HI along
+    x, regions filled at LOWC_FILL, token bytes in the high band."""
+    h, w = TEXT_H, TEXT_W
+    ramp = (
+        LOWC_BG_LO + (LOWC_BG_HI - LOWC_BG_LO) * np.arange(w) // max(w - 1, 1)
+    ).astype(np.uint8)
+    grid = np.tile(ramp, (h, 1))
+    cell_h, cell_w = 24, 32
+    cells = [(r, c) for r in range(h // cell_h) for c in range(w // cell_w)]
+    rng.shuffle(cells)
+    n_regions = rng.randint(2, min(6, len(cells)))
+    for idx in range(n_regions):
+        r, c = cells[idx]
+        y0, x0 = r * cell_h + 2, c * cell_w + 2
+        u = rng.random()
+        if u < 0.50:
+            token = str(rng.randint(1, 12000))
+        elif u < 0.85:
+            token = rng.choice(NAME_POOL)
+        else:
+            token = rng.choice(NOISE_POOL)
+        tb = token.encode("ascii")
+        rw = max(len(tb) + 2, rng.randint(8, cell_w - 4))
+        rw = min(rw, cell_w - 4)
+        tb = tb[: rw - 2]
+        rh = rng.randint(max(4, (MIN_AREA + rw - 1) // rw), cell_h - 4)
+        grid[y0 : y0 + rh, x0 : x0 + rw] = LOWC_FILL
+        grid[y0 + 1, x0 + 1 : x0 + 1 + len(tb)] = (
+            np.frombuffer(tb, dtype=np.uint8).astype(np.int64) + LOWC_TOKEN_SHIFT
+        ).clip(0, 255).astype(np.uint8)
+    # sub-min-area blobs (still rejected after equalization)
+    cursor = n_regions
+    end = min(cursor + rng.randint(0, 2), len(cells))
+    while cursor < end:
+        r, c = cells[cursor]
+        cursor += 1
+        y0, x0 = r * cell_h + 3, c * cell_w + 3
+        side = rng.randint(2, 6)
+        grid[y0 : y0 + side, x0 : x0 + side] = LOWC_FILL
+    return grid
+
+
+def _rgb_payload(media_ref: str) -> bytes:
+    """White-paper RGB scan with colored-ink regions, PNG-encoded.
+
+    Ink color drives classification (reference OCR/src/detect.py:226-330:
+    red = survey numbers, black = names, blue = water). ~25% of regions
+    are cross-stamped (content that the color family's validator must
+    REJECT, e.g. a name in red ink) so color routing is observable in
+    the golden span invariant.
+    """
+    from .functions.png import encode_png_rgb
+
+    rng = random.Random("payload:" + media_ref)
+    h, w = TEXT_H, TEXT_W
+    img = np.full((h, w, 3), 255, dtype=np.uint8)
+    cell_h, cell_w = 24, 32
+    cells = [(r, c) for r in range(h // cell_h) for c in range(w // cell_w)]
+    rng.shuffle(cells)
+    n_regions = rng.randint(2, min(6, len(cells)))
+    for idx in range(n_regions):
+        r, c = cells[idx]
+        y0, x0 = r * cell_h + 2, c * cell_w + 2
+        family = rng.choice(["red", "black", "blue"])
+        cross = rng.random() < 0.25
+        if family == "red":
+            token = rng.choice(NAME_POOL) if cross else str(rng.randint(1, 12000))
+        elif family == "black":
+            token = str(rng.randint(1, 9999)) if cross else rng.choice(NAME_POOL)
+        else:
+            token = str(rng.randint(1, 9999)) if cross else rng.choice(WATER_POOL)
+        tb = token.encode("ascii")
+        rw = max(len(tb) + 2, rng.randint(8, cell_w - 4))
+        rw = min(rw, cell_w - 4)
+        tb = tb[: rw - 2]
+        rh = rng.randint(max(4, (MIN_AREA + rw - 1) // rw), cell_h - 4)
+        img[y0 : y0 + rh, x0 : x0 + rw] = RGB_INKS[family]
+        img[y0 + 1, x0 + 1 : x0 + 1 + len(tb), 1] = np.frombuffer(tb, dtype=np.uint8)
+    cursor = n_regions
+    end = min(cursor + rng.randint(0, 2), len(cells))
+    while cursor < end:  # colored sub-min-area noise
+        r, c = cells[cursor]
+        cursor += 1
+        y0, x0 = r * cell_h + 3, c * cell_w + 3
+        side = rng.randint(2, 6)
+        img[y0 : y0 + side, x0 : x0 + side] = RGB_INKS[
+            rng.choice(["red", "black", "blue"])
+        ]
+    return encode_png_rgb(img)
 
 
 def decode_payload(payload: bytes) -> np.ndarray:
@@ -185,6 +336,36 @@ def decode_payload(payload: bytes) -> np.ndarray:
         raise ValueError("bad payload magic")
     h, w = struct.unpack(">HH", payload[4:8])
     return np.frombuffer(payload[8:], dtype=np.uint8).reshape(h, w)
+
+
+def derive_gray_from_rgb(img: np.ndarray) -> np.ndarray:
+    """RGB scan -> the gray grid the byte tokenizer reads: white paper
+    -> 0 (background), ink fill (green == RGB_FILL_G) -> FILL, token
+    pixels -> their green-channel byte. Pure per-pixel rule, part of
+    the fixture-decode contract shared with the oracle."""
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    white = (r == 255) & (g == 255) & (b == 255)
+    return np.where(
+        white, np.uint8(0), np.where(g == RGB_FILL_G, np.uint8(FILL), g)
+    ).astype(np.uint8)
+
+
+def decode_payload_any(payload: bytes) -> tuple[np.ndarray, np.ndarray | None]:
+    """payload bytes -> (gray grid, rgb image or None).
+
+    PNG payloads decode via the real codec (functions/png.py); RGB ones
+    additionally return the color image for ink routing. CM01 container
+    payloads return the raw gray grid. Shared fixture-decode layer —
+    the DATAFLOW over the arrays is what pipeline and oracle implement
+    twice."""
+    from .functions.png import decode_png, is_png
+
+    if is_png(payload):
+        img = decode_png(payload)
+        if img.ndim == 2:
+            return img, None
+        return derive_gray_from_rgb(img), img
+    return decode_payload(payload), None
 
 
 # ------------------------------------------------------------ documents
@@ -238,10 +419,18 @@ def gen_doc(
                 # mostly multi-region big scans; some oversized ones
                 # that exceed MAX_UNTILED and exercise tiling for real
                 prefix = "media://huge/" if rng.random() < 0.10 else "media://big/"
-            elif rng.random() < 0.15:  # degraded negative scan
-                prefix = "media://neg/"
             else:
-                prefix = "media://"
+                u2 = rng.random()
+                if u2 < 0.15:  # degraded negative scan
+                    prefix = "media://neg/"
+                elif u2 < 0.32:  # colored-ink RGB scan (routing)
+                    prefix = "media://rgb/"
+                elif u2 < 0.44:  # gradient-lit low-contrast scan
+                    prefix = "media://lowc/"
+                elif u2 < 0.56:  # rotated scan (deskew)
+                    prefix = "media://rot/"
+                else:
+                    prefix = "media://"
             ref = f"{prefix}{doc_id}/{off}"
             spans.append(
                 {"kind": "media", "text": None, "media_ref": ref, "offset": off}

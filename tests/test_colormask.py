@@ -65,3 +65,47 @@ def test_color_coverage_features_on_rgb_png(spark):
     rows = {r["color"]: r for r in color_coverage_features(df).collect()}
     assert set(rows) == {"red", "black", "blue"}
     assert rows["red"]["n_pixels"] == 200
+
+
+def test_rgb_family_routing_is_load_bearing():
+    """media://rgb/ payloads classify by INK COLOR (reference
+    OCR/src/detect.py:226-330): cross-stamped regions (content the color
+    family's validator rejects, e.g. a name in red ink) must be dropped
+    even though content-only classification would accept them — and
+    blue-ink water labels are accepted as names."""
+    from cadastral_map_ocr_system_spark.functions.text import py_clean_token
+    from cadastral_map_ocr_system_spark.operators import mediapath as mp
+    from cadastral_map_ocr_system_spark.synth import decode_payload_any, media_payload
+
+    color_rejects = accepted = 0
+    for i in range(60):
+        ref = f"media://rgb/doc-{i:012d}/0"
+        gray, img = decode_payload_any(media_payload(ref))
+        assert img is not None and img.ndim == 3
+        for reg in mp.extract_regions(gray, open_mask=True):
+            if not reg["token"]:
+                continue
+            clean = py_clean_token(reg["token"])
+            cat = route_category(img, (reg["xmin"], reg["ymin"], reg["w"], reg["h"]))
+            assert cat in ("number", "name", "water")
+            routed = mp.classify_token(clean, cat)
+            content = mp.classify_token(clean, None)
+            if routed is None and content is not None:
+                color_rejects += 1
+            if routed is not None:
+                accepted += 1
+    assert accepted > 50
+    assert color_rejects > 20  # routing observably changes the output
+
+
+def test_rgb_records_match_oracle():
+    from cadastral_map_ocr_system_spark import oracle
+    from cadastral_map_ocr_system_spark.operators import mediapath as mp
+
+    for i in range(25):
+        ref = f"media://rgb/doc-{i:012d}/0"
+        pipe = mp.extract_media_records("d", 0, ref, dedup=False)
+        orc = oracle._media_records("d", 0, ref)
+        assert [(r["text"], r["is_number"], r["cx"], r["cy"]) for r in pipe] == [
+            (r["text"], r["is_number"], r["cx"], r["cy"]) for r in orc
+        ], ref

@@ -37,20 +37,46 @@ def test_deskew_restores_bars():
     assert len(lines) >= 0  # structural: no crash on resampled grid
 
 
-def test_deskew_off_by_default_in_extraction():
-    """The golden-invariant path never rotates: extract_media_records
-    defaults to deskew=False, so axis-aligned payloads are untouched
-    regardless of borderline angle estimates."""
+def test_deskew_on_by_default_in_extraction():
+    """Deskew is ON the golden path (the oracle mirrors the estimate and
+    the NN rotation bit-for-bit, so even borderline rotations of
+    axis-aligned payloads stay invariant-exact). Straight payloads
+    mostly estimate ~0 and pass through untouched."""
     import inspect
 
     sig = inspect.signature(mp.extract_media_records)
-    assert sig.parameters["deskew"].default is False
-    # and estimates on the fixture are near zero for typical payloads
+    assert sig.parameters["deskew"].default is True
     near_zero = sum(
         abs(mp.estimate_skew_angle(decode_payload(media_payload(f"media://doc-{i:012d}/0")))) <= mp.DESKEW_MIN_ANGLE
         for i in range(25)
     )
     assert near_zero >= 23
+
+
+def test_rot_family_triggers_rotation_and_mirrors_oracle():
+    """media://rot/ payloads (whole-grid 1.5-2.5 deg rotation) fire the
+    deskew branch on a majority of payloads, and the extracted records
+    match the oracle's independent estimate+rotate mirror exactly."""
+    from cadastral_map_ocr_system_spark import oracle, synth
+    from cadastral_map_ocr_system_spark.operators.normalize import morph_open
+
+    fired = 0
+    for i in range(30):
+        ref = f"media://rot/doc-{i:012d}/0"
+        grid = decode_payload(media_payload(ref))
+        comps = mp._components(grid, morph_open(grid > synth.BIN_THRESHOLD))
+        if abs(mp._median_angle(comps)) > mp.DESKEW_MIN_ANGLE:
+            fired += 1
+        pipe = mp.extract_media_records("d", 0, ref, dedup=False)
+        orc = oracle._media_records("d", 0, ref)
+        assert [
+            (r["region_idx"], r["text"], r["cx"], r["cy"], r["is_number"])
+            for r in pipe
+        ] == [
+            (r["region_idx"], r["text"], r["cx"], r["cy"], r["is_number"])
+            for r in orc
+        ], ref
+    assert fired >= 15, fired
 
 
 def test_rotate_grid_value_preserving():

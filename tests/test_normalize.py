@@ -82,3 +82,68 @@ def test_resize_cap():
     assert r.shape == (100, 75)
     assert resize_cap(g, max_dim=400) is g  # under cap: untouched
     assert set(np.unique(r)) <= set(np.unique(g))  # NN: no new values
+
+
+# ---- P2 tile-local adaptive equalization (the CLAHE analogue)
+def _lowc_grid(i=0):
+    from cadastral_map_ocr_system_spark.synth import decode_payload_any, media_payload
+
+    gray, img = decode_payload_any(media_payload(f"media://lowc/doc-{i:012d}/0"))
+    assert img is None
+    return gray
+
+
+def test_local_enhance_idempotent_on_equalized_tiles():
+    from cadastral_map_ocr_system_spark.operators.normalize import (
+        local_contrast_enhance,
+    )
+
+    for i in range(10):
+        e = local_contrast_enhance(_lowc_grid(i))
+        assert np.array_equal(local_contrast_enhance(e), e), i
+
+
+def test_global_stretch_fails_where_local_enhance_recovers():
+    """The gradient-lit family defeats the global min-max stretch (the
+    ramped background itself crosses the binarization threshold ->
+    phantom foreground), while the tile-local equalization recovers a
+    clean ink mask. This is the fixture family that REQUIRES the local
+    version (P2, OCR/src/preprocess.py:24-31)."""
+    from cadastral_map_ocr_system_spark.operators.normalize import (
+        local_contrast_enhance,
+    )
+    from cadastral_map_ocr_system_spark.synth import LOWC_FILL
+
+    for i in range(10):
+        g = _lowc_grid(i)
+        stretched = contrast_stretch(g)
+        true_fg = float((g >= LOWC_FILL).mean())  # actual ink fraction
+        leaked = float((stretched > 32).mean())
+        assert leaked > 2.5 * true_fg, (i, leaked, true_fg)  # global: fails
+        local = local_contrast_enhance(g)
+        local_fg = float((local > 32).mean())
+        assert local_fg < 1.5 * true_fg + 0.02, (i, local_fg, true_fg)
+
+
+def test_gradient_payloads_extract_tokens_end_to_end():
+    """The full media chain on lowc payloads yields real classified
+    tokens (the high-band byte encoding survives the equalization)."""
+    total = 0
+    for i in range(20):
+        recs = mp.extract_media_records(
+            "d", 0, f"media://lowc/doc-{i:012d}/0", dedup=False
+        )
+        total += len(recs)
+        for r in recs:
+            assert r["text"]
+    assert total > 10
+
+
+def test_gradient_gate_does_not_fire_on_clean_payloads():
+    from cadastral_map_ocr_system_spark.synth import decode_payload_any, media_payload
+
+    for fam in ("media://", "media://neg/", "media://big/", "media://rgb/"):
+        for i in range(5):
+            gray, _ = decode_payload_any(media_payload(f"{fam}doc-{i:012d}/0"))
+            seg, tok = mp.normalize_payload(gray)
+            assert seg is tok, (fam, i)  # passthrough: no remap

@@ -117,6 +117,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG IDAT length mismatch")
 
+    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not raw_arr[:, 0].any():
+        # all scanlines use filter 0 (this codec's own encoder output,
+        # and common for synthetic/flat images): no per-row work at all
+        out = np.ascontiguousarray(raw_arr[:, 1:])
+        return out if bpp == 1 else out.reshape(height, width, 3)
+
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):

@@ -18,17 +18,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from ..functions.colorroute import (  # noqa: F401  (re-exports: public API)
+    COLOR_ROUTING,
+    COLOR_THRESHOLDS,
+    band_mask,
+    dominant_color,
+    route_category,
+)
 from .normalize import morph_close, morph_open
-
-# RGB inclusive bands per color family (reference color_thresholds config)
-COLOR_THRESHOLDS: dict[str, tuple[tuple[int, int, int], tuple[int, int, int]]] = {
-    "red": ((100, 0, 0), (255, 90, 90)),
-    "black": ((0, 0, 0), (80, 80, 80)),
-    "blue": ((0, 0, 100), (90, 90, 255)),
-}
-
-# color family -> field category (detect.py:229-321 routing)
-COLOR_ROUTING = {"red": "number", "black": "name", "blue": "water"}
 
 COLOR_COVERAGE_SCHEMA = "ref string, color string, coverage double, n_pixels long"
 
@@ -36,10 +33,7 @@ COLOR_COVERAGE_SCHEMA = "ref string, color string, coverage double, n_pixels lon
 def color_mask(img: np.ndarray, color: str, cleanup: bool = True) -> np.ndarray:
     """Boolean mask of pixels inside the color's RGB band, with 3x3
     open+close noise cleanup (preprocess.py:58-62). img: (h, w, 3)."""
-    lo, hi = COLOR_THRESHOLDS[color]
-    mask = np.ones(img.shape[:2], dtype=bool)
-    for c in range(3):
-        mask &= (img[:, :, c] >= lo[c]) & (img[:, :, c] <= hi[c])
+    mask = band_mask(img, color)
     if cleanup:
         mask = morph_close(morph_open(mask))
     return mask
@@ -50,26 +44,6 @@ def color_coverage(img: np.ndarray) -> dict[str, float]:
     return {
         color: float(color_mask(img, color).mean()) for color in COLOR_THRESHOLDS
     }
-
-
-def dominant_color(img: np.ndarray, bbox: tuple[int, int, int, int]) -> str | None:
-    """Color family with the most mask pixels inside bbox (x, y, w, h);
-    None when no family covers any pixel. Ties break alphabetically
-    (deterministic)."""
-    x, y, w, h = bbox
-    crop = img[y : y + h, x : x + w]
-    best, best_n = None, 0
-    for color in sorted(COLOR_THRESHOLDS):
-        n = int(color_mask(crop, color, cleanup=False).sum())
-        if n > best_n:
-            best, best_n = color, n
-    return best
-
-
-def route_category(img: np.ndarray, bbox: tuple[int, int, int, int]) -> str | None:
-    """bbox -> field category via its dominant ink color."""
-    c = dominant_color(img, bbox)
-    return COLOR_ROUTING[c] if c else None
 
 
 COLOR_ROUTE_SCHEMA = (

@@ -155,6 +155,8 @@ def _component_angle(c: dict) -> tuple[float, float] | None:
     """Principal-axis angle (deg) of one component from its run-length
     representation, via closed-form second moments (no pixel
     materialization). Returns (angle_deg, elongation) or None."""
+    if c["area"] < MIN_AREA:  # area == pixel count: skip the moment
+        return None           # loop for speckles before it starts
     n = sx = sy = sxx = syy = sxy = 0.0
     for y, x0, x1 in c["runs"]:
         m = x1 - x0
@@ -808,7 +810,7 @@ def extract_media_records(
         clean = py_clean_token(token)
         category = None
         if img is not None:
-            from .colormask import route_category
+            from ..functions.colorroute import route_category
 
             category = route_category(
                 img, (reg["xmin"], reg["ymin"], reg["w"], reg["h"])

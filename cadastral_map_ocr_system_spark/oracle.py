@@ -26,7 +26,7 @@ from .functions.text import (
     py_is_valid_number,
     py_strip_boilerplate,
 )
-from .operators.colormask import COLOR_ROUTING, COLOR_THRESHOLDS
+from .functions.colorroute import COLOR_ROUTING, COLOR_THRESHOLDS
 from .operators.mediapath import token_conf
 from .operators.normalize import (
     GRADIENT_FG_FRAC,

@@ -374,7 +374,21 @@ def template_matches(grid) -> list[dict]:
     return out
 
 
+# _media_records is a pure function of ref (the ref embeds doc_id and
+# offset, and payload bytes are a pure function of ref), so results are
+# memoized — the driver's correctness pass and the invariant tests
+# evaluate the same corpus several times. Callers get fresh row dicts.
+_MEDIA_CACHE: dict[str, list[dict]] = {}
+
+
 def _media_records(doc_id: str, offset: int, ref: str) -> list[dict]:
+    cached = _MEDIA_CACHE.get(ref)
+    if cached is None:
+        cached = _MEDIA_CACHE[ref] = _media_records_uncached(offset, ref)
+    return [dict(r) for r in cached]
+
+
+def _media_records_uncached(offset: int, ref: str) -> list[dict]:
     import numpy as _np
 
     gray, img = decode_payload_any(media_payload(ref))

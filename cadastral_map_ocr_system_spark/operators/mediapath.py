@@ -42,7 +42,6 @@ from ..synth import (
     LOWC_TOKEN_BASE,
     LOWC_TOKEN_SHIFT,
     MIN_AREA,
-    decode_payload,
     decode_payload_any,
     media_payload,
 )

@@ -40,7 +40,6 @@ from .synth import (
     LOWC_TOKEN_BASE,
     LOWC_TOKEN_SHIFT,
     MIN_AREA,
-    decode_payload,
     decode_payload_any,
     media_payload,
 )
@@ -154,10 +153,9 @@ def _flood_regions(grid, tok=None) -> list[dict]:
 def _local_enhance(grid):
     """Independent mirror of normalize.local_contrast_enhance: per-tile
     rank stretch, sorted-list percentile anchor, flat-tile gate."""
-    import math  # noqa: F401  (kept symmetric with the other mirrors)
+    import numpy as _np
 
     h, w = grid.shape
-    import numpy as _np
 
     out = _np.zeros((h, w), dtype=_np.int64)
     t = LOCAL_EQ_TILE

@@ -20,7 +20,6 @@ OCR-noise lookalikes the noise regexes must reject
 
 from __future__ import annotations
 
-import hashlib
 import random
 import struct
 from collections.abc import Iterator

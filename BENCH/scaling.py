@@ -176,6 +176,15 @@ headroom for the co-tenants — and agree with each other within 9%
 |---|---|---|---|---|
 {history_rows}
 
+Fixture-version cost note: docs/sec is NOT comparable across fixture
+versions. v4 added three payload families that exercise more of the
+chain per document (RGB PNG decode + ink-color routing, gradient-lit
+tile-local equalization, rotated-scan deskew) — per-payload cost is
+~1.4x the v3 mix (measured steady-state: plain 0.78 ms, rgb 1.49,
+lowc 1.35, rot 1.51), so v4 absolute docs/sec dropped by design while
+scaling efficiency (the engine property) held. Compare docs/sec only
+within one fixture version.
+
 Reference single-node baseline (BASELINE.md): ~0.33 docs/s/thread for
 the feature-extraction pass, ~1/45 docs/s end-to-end CPU. This engine
 processes smaller synthetic documents, so absolute docs/sec is not

@@ -150,3 +150,57 @@ def test_tile_origins_cover(n):
     starts = tile_origins(n)
     assert starts[0] == 0 and starts[-1] + TILE_SIZE >= n
     assert all(b - a == TILE_STRIDE for a, b in zip(starts, starts[1:]))
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(8, 80),
+    st.integers(8, 90),
+)
+@settings(max_examples=60, deadline=None)
+def test_local_enhance_idempotent_on_any_grid(seed, h, w):
+    """Tile-local equalization is idempotent for ARBITRARY uint8 grids,
+    not just the lowc fixture family: after one pass every non-flat
+    tile has >= p10-mass zeros and a 255 maximum, so the second pass is
+    the identity; flat tiles stay 0."""
+    import numpy as np
+
+    from cadastral_map_ocr_system_spark.operators.normalize import (
+        local_contrast_enhance,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    e = local_contrast_enhance(g)
+    assert np.array_equal(local_contrast_enhance(e), e)
+
+
+@given(st.integers(0, 10**9))
+@settings(max_examples=30, deadline=None)
+def test_classify_token_routing_consistency(seed):
+    """Routing semantics: a category's verdict never contradicts the
+    underlying validators, and the no-category fallback is
+    content-first (number before name)."""
+    import random
+
+    from cadastral_map_ocr_system_spark.functions.text import (
+        py_is_valid_name,
+        py_is_valid_number,
+    )
+    from cadastral_map_ocr_system_spark.operators.mediapath import classify_token
+
+    rng = random.Random(seed)
+    pool = ["123", "99999", "Konal", "Al Khurd", "N", "7A", "x", "", "0", "9999"]
+    tok = rng.choice(pool)
+    assert classify_token(tok, "number") == (True if py_is_valid_number(tok) else None)
+    for cat in ("name", "water"):
+        assert classify_token(tok, cat) == (
+            False if py_is_valid_name(tok) else None
+        )
+    fallback = classify_token(tok, None)
+    if py_is_valid_number(tok):
+        assert fallback is True
+    elif py_is_valid_name(tok):
+        assert fallback is False
+    else:
+        assert fallback is None

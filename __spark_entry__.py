@@ -6,11 +6,12 @@ queries()    — one entry per implemented operator (SURVEY.md §2),
                from cadastral_map_ocr_system_spark.plans.queries.
 oracle_sql() — DuckDB-runnable ANSI SQL equivalents (same column
                names/types; md5-based hashing and decimal/rounding
-               pinned on both sides). Entries without SQL are the
-               genuinely non-SQL-expressible ops (mapInArrow media
-               extraction, order-dependent greedy dedup) — those are
-               invariant-tested against an independent oracle in
-               tests/.
+               pinned on both sides). Every query has one: the
+               genuinely non-SQL ops (mapInArrow media extraction,
+               order-dependent greedy dedup) materialize the
+               INDEPENDENT single-process oracle's rows to parquet and
+               their SQL selects those, so the hash comparison is a
+               pipeline-equals-oracle check.
 """
 
 from __future__ import annotations

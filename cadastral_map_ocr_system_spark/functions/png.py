@@ -142,7 +142,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = np.empty(stride, dtype=np.int64)
             for lane in range(bpp):
                 cur[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
-        elif f in (3, 4):  # Average / Paeth: genuinely left-sequential
+        elif f in (3, 4):
+            # Average/Paeth are genuinely left-sequential recurrences
+            # (floor-division / predictor selection break prefix-sum
+            # form), so they stay per-pixel Python — a documented
+            # limitation for megapixel scans from aggressive encoders;
+            # None/Up/Sub (the common cases) are fully vectorized.
             cur = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
                 a = cur[i - bpp] if i >= bpp else 0

@@ -86,7 +86,9 @@ def greedy_iou_match(
                         best, best_iou = gi, iou
                 if best is not None:
                     unmatched.discard(best)
-                    rows.append((doc_id, offset, cat, "tp", int(r.idx), best, round(best_iou, 6)))
+                    # float() first: numpy.float64.__round__ is not the
+                    # correctly-rounded decimal round the oracle uses
+                    rows.append((doc_id, offset, cat, "tp", int(r.idx), best, round(float(best_iou), 6)))
                 else:
                     rows.append((doc_id, offset, cat, "fp", int(r.idx), None, None))
             for gi in sorted(unmatched):

@@ -516,3 +516,54 @@ def extract_doc(doc: dict) -> list[tuple]:
 def extract_corpus(docs: list[dict]) -> dict[str, list[tuple]]:
     """Golden output for every document (including empty ones)."""
     return {doc["doc_id"]: extract_doc(doc) for doc in docs}
+
+
+def greedy_match(
+    det_rows: list[dict], gt_rows: list[dict], thresholds: dict[str, float]
+) -> list[dict]:
+    """Independent mirror of operators.evaluation.greedy_iou_match
+    (reference J2, OCR/src/validate_detection.py:54-137): plain dict
+    grouping + nested loops instead of the pipeline's cogrouped pandas
+    map. Shares only the scalar py_iou leaf (functions.geometry) with
+    the pipeline, per the oracle discipline in the module header.
+
+    Semantics mirrored: per (doc_id, offset, category), detections in
+    (-conf, idx) order each claim the still-unmatched GT box with the
+    highest IoU strictly above the category threshold (GT scanned in
+    ascending idx, strict > keeps the lowest idx on ties); matched ->
+    tp, unmatched detection -> fp, leftover GT -> fn.
+    """
+    from .functions.geometry import py_iou as _iou
+
+    FALLBACK = 0.25
+    groups: dict[tuple, dict[str, list]] = {}
+    for r in det_rows:
+        g = groups.setdefault((r["doc_id"], r["offset"], r["category"]), {"d": [], "g": []})
+        g["d"].append(r)
+    for r in gt_rows:
+        g = groups.setdefault((r["doc_id"], r["offset"], r["category"]), {"d": [], "g": []})
+        g["g"].append(r)
+    out: list[dict] = []
+    for (doc_id, offset, cat), g in groups.items():
+        t = thresholds.get(cat, FALLBACK)
+        gt_boxes = {int(r["idx"]): (r["x"], r["y"], r["w"], r["h"]) for r in g["g"]}
+        unmatched = set(gt_boxes)
+        for d in sorted(g["d"], key=lambda r: (-r["conf"], r["idx"])):
+            best, best_iou = None, t
+            for gi in sorted(unmatched):
+                iou = _iou((d["x"], d["y"], d["w"], d["h"]), gt_boxes[gi])
+                if iou > best_iou:
+                    best, best_iou = gi, iou
+            base = {"doc_id": doc_id, "offset": offset, "category": cat}
+            if best is not None:
+                unmatched.discard(best)
+                out.append({**base, "outcome": "tp", "det_idx": int(d["idx"]),
+                            "gt_idx": best, "iou": round(best_iou, 6)})
+            else:
+                out.append({**base, "outcome": "fp", "det_idx": int(d["idx"]),
+                            "gt_idx": None, "iou": None})
+        for gi in sorted(unmatched):
+            out.append({"doc_id": doc_id, "offset": offset, "category": cat,
+                        "outcome": "fn", "det_idx": None, "gt_idx": gi,
+                        "iou": None})
+    return out

@@ -1050,26 +1050,61 @@ GROUP BY color
 """
 
 
-def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    """J2+A11: greedy IoU matching of detections vs PERTURBED ground
-    truth via a cogrouped map, then precision/recall/F1.
+_EVAL_N_DOCS, _EVAL_THRESHOLDS = 200, {"survey": 0.2, "place": 0.3}
+
+
+def _eval_fixture(spark: SparkSession):
+    """Shared evaluation fixture: (Spark live matches DF, oracle match
+    rows). Detections on the Spark side run LIVE through
+    media_detections + greedy_iou_match; the oracle side recomputes
+    detections from its own _media_records (BFS flood-fill path) and
+    matches them with oracle.greedy_match (independent loop). Only the
+    GT table (fixture-layer synth.perturb_gt rows) and the scalar
+    py_iou leaf are shared — the hash compare is a genuine
+    cross-implementation check of the order-dependent matcher.
 
     GT boxes are deterministically jittered by up to (+-3, +-2) px on a
     10x4 box — IoUs land between ~0.21 and 1.0, straddling the
     per-category thresholds (0.2 for 'survey', 0.3 for 'place',
-    mirroring validate_detection.py:110-117 terrain/water) — 10% of GT
+    mirroring validate_detection.py:110-117 terrain/water) — ~10% of GT
     boxes are dropped (-> FPs) and ~12% duplicated far away (-> FNs),
-    so tp/fp/fn are all non-trivial and precision < 1. The
-    order-dependent greedy match rows are materialized; the metric
-    arithmetic is verified against DuckDB over those rows."""
-    from .. import synth
-    from ..operators.evaluation import evaluation_metrics, greedy_iou_match
+    so tp/fp/fn are all non-trivial and precision < 1."""
+    from .. import oracle, synth
+    from ..operators.evaluation import greedy_iou_match
     from ..operators.mediapath import media_detections
     from .pipeline import explode_spans
 
-    docs = synth.synth_docs_df(spark, 200, seed=42, skew_frac=0.02)
+    # oracle side: plain-Python detections -> GT fixture -> matcher
+    det_rows = []
+    for doc in synth.synth_docs_pylist(_EVAL_N_DOCS, seed=_EXTRACT_SEED,
+                                       skew_frac=_EXTRACT_SKEW):
+        for span in doc["spans"]:
+            if span["kind"] != "media":
+                continue
+            # per-payload dedup mirrors the pipeline's in-batch W1-W3
+            # stage (extract_media_records dedups before emitting)
+            for r in oracle._dedup(
+                oracle._media_records(doc["doc_id"], span["offset"],
+                                      span["media_ref"])
+            ):
+                det_rows.append(
+                    {"doc_id": doc["doc_id"], "offset": r["offset"],
+                     "category": "survey" if r["is_number"] else "place",
+                     "idx": r["region_idx"],
+                     "x": r["cx"] - 5, "y": r["cy"] - 2,
+                     "w": 10.0, "h": 4.0, "conf": r["conf"]}
+                )
+    gt_rows = synth.perturb_gt(det_rows)
+    oracle_matches = oracle.greedy_match(
+        [r for r in det_rows if r["idx"] % 2 == 0], gt_rows, _EVAL_THRESHOLDS
+    )
+
+    # Spark side: live pipeline detections x the same GT table (S5
+    # ground-truth source shape, validate_detection.py:25-31)
+    docs = synth.synth_docs_df(spark, _EVAL_N_DOCS, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
     media = explode_spans(docs).filter(F.col("kind") == "media")
-    det_all = media_detections(media).select(
+    det = media_detections(media).select(
         "doc_id",
         "offset",
         F.when(F.col("is_number"), "survey").otherwise("place").alias("category"),
@@ -1079,31 +1114,58 @@ def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(10.0).alias("w"),
         F.lit(4.0).alias("h"),
         "conf",
+    ).filter(F.col("idx") % 2 == 0)
+    gt = spark.createDataFrame(
+        [(r["doc_id"], r["offset"], r["category"], r["idx"],
+          float(r["x"]), float(r["y"]), r["w"], r["h"]) for r in gt_rows],
+        schema="doc_id string, offset int, category string, idx int, "
+               "x double, y double, w double, h double",
     )
-    key = [F.col("doc_id"), F.col("offset"), F.col("idx")]
-    jx = F.pmod(F.xxhash64(*key, F.lit("jx")), F.lit(7)) - 3
-    jy = F.pmod(F.xxhash64(*key, F.lit("jy")), F.lit(5)) - 2
-    dropped = F.pmod(F.xxhash64(*key, F.lit("drop")), F.lit(10)) == 0
-    extra = F.pmod(F.xxhash64(*key, F.lit("extra")), F.lit(8)) == 0
-    gt_main = (
-        det_all.withColumn("x", F.col("x") + jx)
-        .withColumn("y", F.col("y") + jy)
-        .filter(~dropped)
-        .drop("conf")
+    matches = greedy_iou_match(det, gt, thresholds=_EVAL_THRESHOLDS)
+    return matches, oracle_matches
+
+
+def _write_oracle_matches(oracle_matches: list[dict]) -> None:
+    import pyarrow as _pa
+
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("offset", _pa.int32()),
+         ("category", _pa.string()), ("outcome", _pa.string()),
+         ("det_idx", _pa.int32()), ("gt_idx", _pa.int32()),
+         ("iou", _pa.float64())]
     )
-    gt_extra = det_all.filter(extra).select(
-        "doc_id", "offset", "category",
-        (F.col("idx") + 1000).alias("idx"),
-        (F.col("x") + 30).alias("x"), (F.col("y") + 15).alias("y"),
-        "w", "h",
+    _write_oracle_parquet(
+        oracle_matches, schema, f"{_MATERIALIZE_DIR}/iou_matches_oracle.parquet"
     )
-    gt = gt_main.unionByName(gt_extra)
-    det = det_all.filter(F.col("idx") % 2 == 0)
-    path = f"{_MATERIALIZE_DIR}/iou_matches.parquet"
-    greedy_iou_match(
-        det, gt, thresholds={"survey": 0.2, "place": 0.3}
-    ).write.mode("overwrite").parquet(path)
-    return evaluation_metrics(spark.read.parquet(path))
+
+
+def q_iou_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 row-level check: the pipeline's LIVE cogrouped greedy-IoU
+    match rows vs the oracle's independently-matched rows (see
+    _eval_fixture) — every tp/fp/fn assignment and rounded IoU must
+    agree row for row."""
+    matches, oracle_matches = _eval_fixture(spark)
+    _write_oracle_matches(oracle_matches)
+    return matches
+
+
+SQL_IOU_MATCHES = f"""
+SELECT doc_id, "offset", category, outcome, det_idx, gt_idx, iou
+FROM read_parquet('{_MATERIALIZE_DIR}/iou_matches_oracle.parquet')
+"""
+
+
+def q_evaluation_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """J2+A11: precision/recall/F1 computed from the pipeline's LIVE
+    greedy matches; the oracle SQL aggregates the ORACLE's independent
+    match rows — tp/fp/fn counts, mean matched IoU, and the metric
+    arithmetic are all cross-implementation verified (see
+    _eval_fixture)."""
+    from ..operators.evaluation import evaluation_metrics
+
+    matches, oracle_matches = _eval_fixture(spark)
+    _write_oracle_matches(oracle_matches)
+    return evaluation_metrics(matches)
 
 
 SQL_EVALUATION_METRICS = f"""
@@ -1113,7 +1175,7 @@ WITH agg AS (
          CAST(SUM(CASE WHEN outcome = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
          CAST(SUM(CASE WHEN outcome = 'fn' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          round(AVG(iou), 6) AS mean_iou
-  FROM read_parquet('{_MATERIALIZE_DIR}/iou_matches.parquet/*.parquet')
+  FROM read_parquet('{_MATERIALIZE_DIR}/iou_matches_oracle.parquet')
   GROUP BY category),
 p AS (
   SELECT *,
@@ -1165,6 +1227,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
+    "iou_matches": (q_iou_matches, SQL_IOU_MATCHES),
     "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),
     "color_route": (q_color_route, SQL_COLOR_ROUTE),
     "color_coverage": (q_color_coverage, SQL_COLOR_COVERAGE),

@@ -504,3 +504,54 @@ def synth_docs_pylist(
 ) -> list[dict]:
     """Driver-side generation for small test corpora."""
     return [gen_doc(seed, i, skew_frac, max_spans) for i in range(n_docs)]
+
+
+# ------------------------------------------------------------- ground truth
+# Fixture-layer GT perturbation for the evaluation family (S5/J2).
+# Pure Python and engine-neutral: the SAME rows feed the Spark side (as
+# a createDataFrame ground-truth table — the faithful shape for a GT
+# annotation source, validate_detection.py:25-31) and the oracle's
+# independent matcher. Deterministic via blake2b so no Spark expression
+# is involved in fixture generation.
+
+import hashlib as _hashlib
+
+
+def _gt_hash(doc_id: str, offset: int, idx: int, salt: str, mod: int) -> int:
+    h = _hashlib.blake2b(
+        f"{doc_id}|{offset}|{idx}|{salt}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "big") % mod
+
+
+def perturb_gt(det_rows: list[dict]) -> list[dict]:
+    """Detection rows -> perturbed ground-truth boxes.
+
+    Jitter up to (+-3, +-2) px on a 10x4 box (IoUs ~0.21..1.0, straddling
+    the 0.2/0.3 category thresholds), drop ~10% (those detections become
+    FPs), duplicate ~12.5% far away at idx+1000 (unmatched GT -> FNs).
+    Input rows: doc_id, offset, category, idx, x, y, w, h [, conf].
+    """
+    out: list[dict] = []
+    for r in det_rows:
+        key = (r["doc_id"], r["offset"], r["idx"])
+        if _gt_hash(*key, "drop", 10) != 0:
+            out.append(
+                {
+                    "doc_id": r["doc_id"], "offset": r["offset"],
+                    "category": r["category"], "idx": r["idx"],
+                    "x": r["x"] + (_gt_hash(*key, "jx", 7) - 3),
+                    "y": r["y"] + (_gt_hash(*key, "jy", 5) - 2),
+                    "w": r["w"], "h": r["h"],
+                }
+            )
+        if _gt_hash(*key, "extra", 8) == 0:
+            out.append(
+                {
+                    "doc_id": r["doc_id"], "offset": r["offset"],
+                    "category": r["category"], "idx": r["idx"] + 1000,
+                    "x": r["x"] + 30, "y": r["y"] + 15,
+                    "w": r["w"], "h": r["h"],
+                }
+            )
+    return out

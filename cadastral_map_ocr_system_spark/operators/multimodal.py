@@ -4,9 +4,10 @@ columns with typed metadata.
 Images: PNG payloads decode for REAL (pure-Python codec over zlib,
 functions/png.py — 8-bit gray/RGB, all scanline filters); non-PNG
 bytes fall back to a deterministic fake decode so the plumbing stays
-executable on arbitrary binaries. Audio decode remains a declared stub
-(no audio codec library in this container) — a deployment swaps the
-stub body, nothing else.
+executable on arbitrary binaries. Audio: WAV/PCM payloads decode for
+REAL too (pure-Python RIFF parser, functions/wav.py — 8/16-bit, any
+channel count); non-WAV bytes get the same deterministic fake
+fallback.
 
 Pattern: mapInPandas/mapInArrow over batches of (ref, payload binary,
 media_type), emitting per-item feature rows. Mirrors the reference's
@@ -25,10 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.png import decode_png, is_png
+from ..functions.wav import decode_wav, is_wav
 
 MEDIA_META_SCHEMA = (
     "ref string, media_type string, n_bytes long, sha256 string, "
-    "width int, height int, n_channels int, n_frames int"
+    "width int, height int, n_channels int, n_frames int, sample_rate int"
 )
 
 FRAME_FEATURES_SCHEMA = (
@@ -53,11 +55,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return arr[: side * side].reshape(side, side)
 
 
-def _decode_audio(payload: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "audio decode requires an audio codec library not present in "
-        "this container; swap this stub in deployment"
-    )
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV payloads: real decode (functions/wav.py, pure-Python RIFF
+    PCM). Anything else: deterministic fake mono 8-bit stream so the
+    plumbing stays executable on arbitrary binaries (same fallback
+    discipline as _decode_image)."""
+    if is_wav(payload):
+        return decode_wav(payload)
+    return np.frombuffer(payload, dtype=np.uint8).reshape(-1, 1), 8000
 
 
 def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -79,8 +84,16 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "height": None,
                     "n_channels": None,
                     "n_frames": None,
+                    "sample_rate": None,
                 }
-                if media_type == "image":
+                if media_type == "audio":
+                    samples, rate = _decode_audio(b)
+                    row.update(
+                        n_channels=int(samples.shape[1]),
+                        n_frames=int(samples.shape[0]),
+                        sample_rate=int(rate),
+                    )
+                elif media_type == "image":
                     if is_png(b):
                         img = decode_png(b)
                         row.update(
@@ -129,6 +142,46 @@ def texture_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, schema=TEXTURE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "ref string, n_frames int, sample_rate int, rms double, "
+    "mean_amplitude double, zero_crossing_rate double"
+)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-clip audio statistics (the texture_features analogue for the
+    audio modality): RMS and mean of the centered signal plus the
+    zero-crossing rate of channel 0 — all vectorized numpy over the
+    decoded PCM frames."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["ref"], pdf[payload_col]):
+                samples, rate = _decode_audio(bytes(payload))
+                x = samples.astype(np.float64)
+                if samples.dtype == np.uint8:
+                    x -= 128.0  # center unsigned 8-bit at zero
+                ch0 = x[:, 0]
+                crossings = (
+                    float(np.count_nonzero(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+                    / max(len(ch0) - 1, 1)
+                )
+                rows.append(
+                    {
+                        "ref": ref,
+                        "n_frames": int(samples.shape[0]),
+                        "sample_rate": int(rate),
+                        "rms": float(np.sqrt((x**2).mean())) if x.size else 0.0,
+                        "mean_amplitude": float(np.abs(x).mean()) if x.size else 0.0,
+                        "zero_crossing_rate": crossings,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_features(

@@ -567,3 +567,41 @@ def greedy_match(
                         "outcome": "fn", "det_idx": None, "gt_idx": gi,
                         "iou": None})
     return out
+
+
+def audio_feature_rows(refs: list[str]) -> list[dict]:
+    """Independent mirror of operators.multimodal.audio_features: plain
+    Python loops + math.fsum instead of vectorized numpy. Shares only
+    the WAV codec leaf (functions.wav) and the fixture generator
+    (synth.wav_payload).
+
+    No rounding on either side: every sum here is over integer-valued
+    floats (PCM samples, centered), exact below 2^53 in ANY summation
+    order, so fsum, pairwise numpy, and sequential sums all yield the
+    SAME double — sqrt/division are IEEE-determined from there."""
+    import math
+
+    from .functions.wav import decode_wav
+    from .synth import wav_payload
+
+    out = []
+    for ref in refs:
+        samples, rate = decode_wav(wav_payload(ref))
+        offset = 128.0 if samples.dtype.kind == "u" else 0.0
+        vals = [float(v) - offset for row in samples.tolist() for v in row]
+        ch0 = [float(row[0]) - offset for row in samples.tolist()]
+        crossings = sum(
+            1 for a, b in zip(ch0, ch0[1:]) if (a < 0) != (b < 0)
+        )
+        n = len(vals)
+        out.append(
+            {
+                "ref": ref,
+                "n_frames": int(samples.shape[0]),
+                "sample_rate": int(rate),
+                "rms": math.sqrt(math.fsum(v * v for v in vals) / n),
+                "mean_amplitude": math.fsum(abs(v) for v in vals) / n,
+                "zero_crossing_rate": crossings / max(len(ch0) - 1, 1),
+            }
+        )
+    return out

@@ -1139,6 +1139,43 @@ def _write_oracle_matches(oracle_matches: list[dict]) -> None:
     )
 
 
+_AUDIO_REFS = [f"media://wav/{i:04d}" for i in range(48)]
+
+
+def q_audio_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal audio family: mapInPandas audio_features (numpy over
+    real pure-Python WAV decode) LIVE on the Spark side vs the oracle's
+    plain-Python loop mirror (oracle.audio_feature_rows) — bitwise
+    comparable without rounding because every aggregate is a sum of
+    integer-valued floats (see the mirror's docstring)."""
+    import pyarrow as _pa
+
+    from .. import oracle, synth
+    from ..operators.multimodal import audio_features
+
+    schema = _pa.schema(
+        [("ref", _pa.string()), ("n_frames", _pa.int32()),
+         ("sample_rate", _pa.int32()), ("rms", _pa.float64()),
+         ("mean_amplitude", _pa.float64()),
+         ("zero_crossing_rate", _pa.float64())]
+    )
+    _write_oracle_parquet(
+        oracle.audio_feature_rows(_AUDIO_REFS), schema,
+        f"{_MATERIALIZE_DIR}/audio_oracle.parquet",
+    )
+    df = spark.createDataFrame(
+        [(r, "audio", bytearray(synth.wav_payload(r))) for r in _AUDIO_REFS],
+        "ref string, media_type string, payload binary",
+    )
+    return audio_features(df)
+
+
+SQL_AUDIO_STATS = f"""
+SELECT ref, n_frames, sample_rate, rms, mean_amplitude, zero_crossing_rate
+FROM read_parquet('{_MATERIALIZE_DIR}/audio_oracle.parquet')
+"""
+
+
 def q_iou_matches(spark: SparkSession, sf: str) -> DataFrame:
     """J2 row-level check: the pipeline's LIVE cogrouped greedy-IoU
     match rows vs the oracle's independently-matched rows (see
@@ -1227,6 +1264,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
+    "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "iou_matches": (q_iou_matches, SQL_IOU_MATCHES),
     "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),
     "color_route": (q_color_route, SQL_COLOR_ROUTE),

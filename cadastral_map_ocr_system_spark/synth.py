@@ -555,3 +555,23 @@ def perturb_gt(det_rows: list[dict]) -> list[dict]:
                 }
             )
     return out
+
+
+def wav_payload(media_ref: str) -> bytes:
+    """Deterministic PCM WAV fixture bytes for a media://wav/ ref:
+    a sine at a ref-derived frequency, 8- or 16-bit, mono or stereo —
+    exercises every decode path of functions/wav.py."""
+    from .functions.wav import encode_wav
+
+    h = _hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
+    rng = random.Random(int.from_bytes(h, "big"))
+    n = 256 + rng.randrange(512)
+    freq = 2 + rng.randrange(12)
+    wave = np.sin(2 * np.pi * freq * np.arange(n) / n)
+    if rng.random() < 0.5:
+        samples = (wave * 12000).astype(np.int16)
+    else:
+        samples = (wave * 100 + 128).astype(np.uint8)
+    if rng.random() < 0.5:
+        samples = np.stack([samples, samples[::-1]], axis=1)
+    return encode_wav(samples, sample_rate=4000 + 100 * rng.randrange(40))

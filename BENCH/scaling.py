@@ -22,7 +22,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE_VERSION = 4  # keep in sync with synth.FIXTURE_VERSION
+FIXTURE_VERSION = 5  # keep in sync with synth.FIXTURE_VERSION
 CORPUS = f"/tmp/scaling_docs_parquet_v{FIXTURE_VERSION}"
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
 

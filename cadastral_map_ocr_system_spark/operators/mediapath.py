@@ -759,7 +759,8 @@ def extract_media_records(
 ) -> list[dict]:
     """One media span -> N classified detection records.
 
-    Chain: decode (gray or RGB PNG) -> polarity inversion -> gradient
+    Chain: decode (gray or RGB PNG) -> P1 resize cap (NN decimation of
+    over-RESIZE_CAP scans, detect.py:95-106) -> polarity inversion -> gradient
     gate / tile-local equalization (P2) -> deskew (P4: median component
     angle, rotate when |angle| > 0.5 deg — single-channel untiled
     payloads only; the estimate reuses the same labeling pass as the
@@ -775,9 +776,15 @@ def extract_media_records(
     (oracle.py), so rotated / gradient-lit / colored fixture families
     are covered by the golden span invariant end to end.
     """
-    from .normalize import morph_open
+    from .normalize import morph_open, resize_cap
 
     gray, img = decode_payload_any(_resolve_payload(media_ref))
+    # P1 resize cap right after decode (detect.py:95-106): identity for
+    # in-bounds payloads; over-cap scans (media://hires/) decimate to
+    # RESIZE_CAP before any further stage, bounding per-span cost
+    gray = resize_cap(gray)
+    if img is not None:
+        img = resize_cap(img)
     seg, tok = normalize_payload(gray)
 
     if img is None and deskew and max(seg.shape) <= MAX_UNTILED:

@@ -24,7 +24,11 @@ from __future__ import annotations
 
 import numpy as np
 
-RESIZE_CAP = 3000  # reference MAX_IMAGE_SIZE analogue (detect.py:48)
+# Reference MAX_IMAGE_SIZE analogue (detect.py:48): the reference caps
+# ~5300 px scans at 2000; scale-consistent with our fixture canvases
+# (media://hires/ at 1152 px) the cap sits at 1024 — above the huge
+# family (896) so tiling fixtures pass through unresized.
+RESIZE_CAP = 1024
 
 
 def invert_if_negative(grid: np.ndarray) -> np.ndarray:
@@ -92,21 +96,36 @@ def local_contrast_enhance(
     return out
 
 
-def resize_cap(grid: np.ndarray, max_dim: int = RESIZE_CAP) -> np.ndarray:
-    """Cap the longest edge at max_dim, preserving aspect ratio
-    (detect.py:95-106), via endpoint-preserving NN decimation.
-    NOTE: lossy for byte-glyph fixtures (decimation drops token
-    pixels), so the golden path leaves it off; it is the guard for
-    oversized real-world scans ahead of tiling."""
-    h, w = grid.shape
+def decimation_indices(
+    h: int, w: int, max_dim: int = RESIZE_CAP
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Kept (row, col) index arrays for the P1 cap, or None when the
+    grid is already within bounds. Exposed so the fixture generator can
+    stamp glyphs onto surviving pixels (media://hires/) — the decimation
+    geometry is part of the operator contract, mirrored independently
+    by the oracle."""
     m = max(h, w)
     if m <= max_dim:
-        return grid
+        return None
     scale = max_dim / m
     nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
     ii = np.rint(np.arange(nh) * (h - 1) / max(nh - 1, 1)).astype(int)
     jj = np.rint(np.arange(nw) * (w - 1) / max(nw - 1, 1)).astype(int)
-    return grid[np.ix_(ii, jj)]
+    return ii, jj
+
+
+def resize_cap(grid: np.ndarray, max_dim: int = RESIZE_CAP) -> np.ndarray:
+    """Cap the longest edge at max_dim, preserving aspect ratio
+    (detect.py:95-106), via endpoint-preserving NN decimation. ON the
+    golden path (extract_media_records applies it right after decode;
+    identity for in-bounds payloads); the media://hires/ family stamps
+    its glyphs on the surviving pixel lattice so tokens decode intact
+    after the cap. Accepts gray (h, w) or color (h, w, 3) arrays."""
+    idx = decimation_indices(grid.shape[0], grid.shape[1], max_dim)
+    if idx is None:
+        return grid
+    ii, jj = idx
+    return grid[ii][:, jj]
 
 
 def _erode3(mask: np.ndarray) -> np.ndarray:

@@ -46,6 +46,20 @@ from .synth import (
 
 MAX_UNTILED_MIRROR = 512       # mediapath.MAX_UNTILED
 DESKEW_MIN_ANGLE_MIRROR = 0.5  # mediapath.DESKEW_MIN_ANGLE
+RESIZE_CAP_MIRROR = 1024       # normalize.RESIZE_CAP
+
+
+def _decimate_cap(arr, cap: int = RESIZE_CAP_MIRROR):
+    """Mirror of normalize.resize_cap (P1): endpoint-preserving NN
+    decimation via per-index Python round (half-even, as np.rint)."""
+    h, w = arr.shape[0], arr.shape[1]
+    if max(h, w) <= cap:
+        return arr
+    scale = cap / max(h, w)
+    nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+    rows = [round(i * (h - 1) / max(nh - 1, 1)) for i in range(nh)]
+    cols = [round(j * (w - 1) / max(nw - 1, 1)) for j in range(nw)]
+    return arr[rows][:, cols]
 
 
 def _invert_if_negative(grid):
@@ -390,6 +404,9 @@ def _media_records_uncached(offset: int, ref: str) -> list[dict]:
     import numpy as _np
 
     gray, img = decode_payload_any(media_payload(ref))
+    gray = _decimate_cap(gray)
+    if img is not None:
+        img = _decimate_cap(img)
     grid = _invert_if_negative(gray.astype(int))
     # gradient gate mirror (mediapath.normalize_payload)
     n_fg = sum(1 for row in grid for v in row if v > BIN_THRESHOLD)

@@ -30,7 +30,7 @@ import pyarrow as pa
 MAGIC = b"CM01"
 # bump when generator output changes, so cached fixture corpora
 # (e.g. the bench corpus under /tmp) are regenerated rather than reused
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 FILL = 200          # region fill intensity
 # Binarization threshold. Must sit BELOW the printable-ASCII range
 # (33..126) so every token byte stamped into a region binarizes to
@@ -59,6 +59,7 @@ WATER_POOL = ["River", "Lake", "Pond", "Tank", "Stream", "Canal", "Jheel"]
 TEXT_H, TEXT_W = 72, 128      # normal payload canvas
 BIG_H, BIG_W = 240, 320       # multi-region skew payload canvas
 HUGE_H, HUGE_W = 648, 896     # oversized scan canvas (> MAX_UNTILED: tiled)
+HIRES_H, HIRES_W = 640, 1152  # over-cap canvas (> RESIZE_CAP: P1 decimates)
 
 # ---- RGB ink-colored scans (media://rgb/): white paper, colored ink.
 # Fill colors sit inside the colormask.COLOR_THRESHOLDS bands; the token
@@ -75,7 +76,11 @@ RGB_FILL_G = 40  # green value marking "ink fill" (token bytes are never 40)
 # byte + LOWC_TOKEN_SHIFT so they stay above the fill after the
 # tile-local equalization recovers the mask.
 LOWC_BG_LO, LOWC_BG_HI = 20, 64
-LOWC_FILL = 176
+# fill must sit BELOW LOWC_TOKEN_BASE: fill pixels then map to the FILL
+# sentinel in the token grid. (At 176 — inside the token band — every
+# fill pixel decoded to '/', raw tokens were slash-padded, and conf
+# silently depended on region geometry via the stripped padding.)
+LOWC_FILL = 150
 LOWC_TOKEN_BASE = 162   # pixels >= this carry a token byte
 LOWC_TOKEN_SHIFT = 129  # stored value = token byte + shift
 
@@ -97,12 +102,18 @@ def media_payload(media_ref: str) -> bytes:
                       tile-local equalization; a global stretch fails)
       media://rgb/    RGB PNG, white paper + colored ink (exercises the
                       P5/P6 color masks and red/black/blue routing)
+      media://hires/  over-RESIZE_CAP scan whose glyphs are stamped on
+                      the decimation-surviving pixel lattice (exercises
+                      the P1 resize cap end to end, then tiling)
     """
     if media_ref.startswith("media://rgb/"):
         return _rgb_payload(media_ref)
     rng = random.Random("payload:" + media_ref)
     if media_ref.startswith("media://lowc/"):
         grid = _lowc_grid(rng)
+        return MAGIC + struct.pack(">HH", *grid.shape) + grid.tobytes()
+    if media_ref.startswith("media://hires/"):
+        grid = _hires_grid(rng)
         return MAGIC + struct.pack(">HH", *grid.shape) + grid.tobytes()
     huge = media_ref.startswith("media://huge/")
     big = media_ref.startswith("media://big/") or huge
@@ -280,6 +291,59 @@ def _lowc_grid(rng: random.Random) -> np.ndarray:
     return grid
 
 
+def _hires_grid(rng: random.Random) -> np.ndarray:
+    """Over-cap canvas whose glyphs SURVIVE the P1 NN decimation.
+
+    Stamping works in decimated coordinate space: the region layout,
+    token bytes, and noise blobs are chosen exactly like the big
+    family but on the post-cap lattice, then mapped back to the hires
+    canvas via the pipeline's own decimation indices — region rects
+    fill every hires pixel between their mapped corners (so the
+    decimated view is a solid rect) and each token byte lands on the
+    one surviving pixel of its decimated cell. After the cap the grid
+    is still > MAX_UNTILED, so the payload then exercises tiling too
+    (P1 -> E3 composition, the 100 TB scan shape)."""
+    from .operators.normalize import RESIZE_CAP, decimation_indices
+
+    h, w = HIRES_H, HIRES_W
+    ii, jj = decimation_indices(h, w, RESIZE_CAP)
+    nh, nw = len(ii), len(jj)
+    grid = np.zeros((h, w), dtype=np.uint8)
+    cell_h, cell_w = 24, 32
+    cells = [(r, c) for r in range(nh // cell_h) for c in range(nw // cell_w)]
+    rng.shuffle(cells)
+    n_regions = min(rng.randint(16, 40), len(cells))
+    for idx in range(n_regions):
+        r, c = cells[idx]
+        y0, x0 = r * cell_h + 2, c * cell_w + 2  # decimated coords
+        u = rng.random()
+        if u < 0.50:
+            token = str(rng.randint(1, 12000))
+        elif u < 0.85:
+            token = rng.choice(NAME_POOL)
+        else:
+            token = rng.choice(NOISE_POOL)
+        tb = token.encode("ascii")
+        rw = max(len(tb) + 2, rng.randint(8, cell_w - 4))
+        rw = min(rw, cell_w - 4)
+        tb = tb[: rw - 2]
+        rh = rng.randint(max(4, (MIN_AREA + rw - 1) // rw), cell_h - 4)
+        grid[ii[y0] : ii[y0 + rh - 1] + 1, jj[x0] : jj[x0 + rw - 1] + 1] = FILL
+        grid[ii[y0 + 1], jj[x0 + 1 : x0 + 1 + len(tb)]] = np.frombuffer(
+            tb, dtype=np.uint8
+        )
+    # sub-min-area noise blobs (in decimated space), mapped the same way
+    cursor = n_regions
+    end = min(cursor + rng.randint(0, 3), len(cells))
+    while cursor < end:
+        r, c = cells[cursor]
+        cursor += 1
+        y0, x0 = r * cell_h + 3, c * cell_w + 3
+        side = rng.randint(2, 6)
+        grid[ii[y0] : ii[y0 + side - 1] + 1, jj[x0] : jj[x0 + side - 1] + 1] = FILL
+    return grid
+
+
 def _rgb_payload(media_ref: str) -> bytes:
     """White-paper RGB scan with colored-ink regions, PNG-encoded.
 
@@ -416,8 +480,14 @@ def gen_doc(
         if rng.random() < 0.30:  # media span
             if is_skew:
                 # mostly multi-region big scans; some oversized ones
-                # that exceed MAX_UNTILED and exercise tiling for real
-                prefix = "media://huge/" if rng.random() < 0.10 else "media://big/"
+                # that exceed MAX_UNTILED (tiling) or RESIZE_CAP (P1)
+                u2 = rng.random()
+                if u2 < 0.10:
+                    prefix = "media://huge/"
+                elif u2 < 0.15:
+                    prefix = "media://hires/"
+                else:
+                    prefix = "media://big/"
             else:
                 u2 = rng.random()
                 if u2 < 0.15:  # degraded negative scan

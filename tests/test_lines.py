@@ -147,15 +147,30 @@ def test_spatial_hash_merge_parity_with_brute_force():
 
 
 def test_merge_scales_to_reference_density():
-    """~50k segments on a reference-sized 5300x4950 map merge in <1s
+    """~50k segments on a reference-sized 5300x4950 map merge in ~O(n)
     (the reference's real maps average ~71k raw segments, BASELINE.md;
-    the old all-heads scan was O(n*groups) and would dominate)."""
+    the old all-heads scan was O(n*groups) and would dominate).
+
+    Measured against a same-process pure-Python calibration workload
+    instead of wall-clock, so a loaded host (the full suite runs 32
+    Spark workers) slows both sides together: the grid-hash merge runs
+    at ~5x the calibration op on an idle host; the bound of 20x still
+    catches the 10-50x O(n*groups) regression."""
     import time
 
+    def calib() -> float:
+        t0 = time.perf_counter()
+        acc: dict = {}
+        for i in range(200_000):
+            k = (i & 4095, i % 317)
+            acc[k] = acc.get(k, 0) + 1
+        return time.perf_counter() - t0
+
     segs = _random_segments(50_000, span=5000, seed=9)
+    base = min(calib() for _ in range(3))
     t0 = time.perf_counter()
     merged = mp.merge_line_segments(segs)
     dt = time.perf_counter() - t0
     assert 0 < len(merged) <= len(segs)
     assert sum(m["n_merged"] for m in merged) == len(segs)
-    assert dt < 1.0, dt
+    assert dt < 20 * base, (dt, base)

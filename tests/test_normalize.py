@@ -147,3 +147,46 @@ def test_gradient_gate_does_not_fire_on_clean_payloads():
             gray, _ = decode_payload_any(media_payload(f"{fam}doc-{i:012d}/0"))
             seg, tok = mp.normalize_payload(gray)
             assert seg is tok, (fam, i)  # passthrough: no remap
+
+
+def test_resize_cap_3d_and_hires_glyph_survival():
+    """P1 on the golden path (VERDICT r3 #4): hires payloads exceed
+    RESIZE_CAP, decimate, and still yield the oracle's exact records
+    through the full pipeline kernel (tokens stamped on the surviving
+    lattice by construction)."""
+    from cadastral_map_ocr_system_spark import oracle, synth
+    from cadastral_map_ocr_system_spark.operators.mediapath import (
+        extract_media_records,
+    )
+    from cadastral_map_ocr_system_spark.operators.normalize import RESIZE_CAP
+
+    # 3-D (color) arrays decimate rows/cols, keep channels
+    rgb = np.zeros((40, 30, 3), dtype=np.uint8)
+    assert resize_cap(rgb, max_dim=20).shape == (20, 15, 3)
+
+    for i in range(3):
+        ref = f"media://hires/doc-{i:012d}/0"
+        grid = synth.decode_payload(synth.media_payload(ref))
+        assert max(grid.shape) > RESIZE_CAP  # the cap genuinely fires
+        got = extract_media_records(f"doc-{i:012d}", 0, ref, dedup=False)
+        want = oracle._media_records_uncached(0, ref)
+        key = lambda r: (r["region_idx"], r["text"], r["conf"], r["cx"], r["cy"])
+        assert sorted(map(key, got)) == sorted(map(key, want))
+        assert len(got) >= 5  # multi-region family: tokens survived
+
+
+def test_oracle_mirror_constants_in_sync():
+    """The oracle re-declares pipeline constants by hand (independence);
+    drift must fail HERE with a pointed message, not as an opaque
+    invariant mismatch (ADVICE r3)."""
+    from cadastral_map_ocr_system_spark import oracle
+    from cadastral_map_ocr_system_spark.operators import mediapath, normalize
+
+    assert oracle.MAX_UNTILED_MIRROR == mediapath.MAX_UNTILED
+    assert oracle.DESKEW_MIN_ANGLE_MIRROR == mediapath.DESKEW_MIN_ANGLE
+    assert oracle.RESIZE_CAP_MIRROR == normalize.RESIZE_CAP
+    src = open(oracle.__file__).read()
+    assert f"< {mediapath.DESKEW_MIN_ELONGATION**2}:" in src, (
+        "oracle's hard-coded elongation gate drifted from "
+        "mediapath.DESKEW_MIN_ELONGATION**2"
+    )

@@ -1139,6 +1139,133 @@ def _write_oracle_matches(oracle_matches: list[dict]) -> None:
     )
 
 
+# ------------------------------------------------------------- sinks (K1-K3)
+_SINK_N_DOCS = 120
+
+
+def q_csv_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """K1 padded 2-column CSV sink fidelity: write_iit_csv writes the
+    reference's (Characters, Numbers) frame to disk; DuckDB read_csv
+    parses those files back while the Spark side recomputes the frame
+    LIVE — the hash check proves the sink wrote exactly the frame
+    (quoting, padding, header, no value mangling). detect.py:738-749."""
+    from .. import synth
+    from ..operators.mediapath import media_detections
+    from ..operators.sinks import characters_numbers_frame, write_iit_csv
+    from .pipeline import explode_spans
+
+    docs = synth.synth_docs_df(spark, _SINK_N_DOCS, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
+    det = media_detections(
+        explode_spans(docs).filter(F.col("kind") == "media")
+    )
+    write_iit_csv(det, f"{_MATERIALIZE_DIR}/iit_csv")
+    return characters_numbers_frame(det)
+
+
+SQL_CSV_SINK = f"""
+SELECT doc_id, row_idx,
+       COALESCE(characters, '') AS characters,
+       COALESCE(numbers, '') AS numbers
+FROM read_csv('{_MATERIALIZE_DIR}/iit_csv/*.csv', header = true,
+              columns = {{'doc_id': 'VARCHAR', 'row_idx': 'INT',
+                          'characters': 'VARCHAR', 'numbers': 'VARCHAR'}})
+"""
+
+
+def q_json_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """K3 detailed-JSON sink fidelity: write_detailed_json writes the
+    nested per-document records; DuckDB read_json + recursive UNNEST
+    flattens them back while the Spark side recomputes the extraction
+    LIVE and explodes — span-for-span equality through the JSON round
+    trip. detect.py:628-711."""
+    from .. import synth
+    from ..operators.sinks import write_detailed_json
+    from .pipeline import extract
+
+    docs = synth.synth_docs_df(spark, _SINK_N_DOCS, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
+    ex = extract(docs)
+    # single part file: avoids empty-part JSON files in the glob
+    write_detailed_json(ex.coalesce(1), f"{_MATERIALIZE_DIR}/detailed_json")
+    return ex.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.order").alias("order"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+SQL_JSON_SINK = f"""
+SELECT doc_id,
+       u."order" AS "order", u.kind AS kind, u.text AS text,
+       u.media_ref AS media_ref
+FROM (
+  SELECT doc_id, UNNEST(spans) AS u
+  FROM read_json_auto('{_MATERIALIZE_DIR}/detailed_json/*.json')
+)
+"""
+
+
+def q_stats_block(spark: SparkSession, sf: str) -> DataFrame:
+    """K2/A2/A4 statistics block vs the oracle: the Spark side runs
+    span_detections LIVE and aggregates with statistics_block; the
+    oracle independently rebuilds the per-span detection rows (BFS
+    path + its own per-payload dedup + text/sentinel bookkeeping) and
+    DuckDB aggregates those. Cross-verifies per-doc name/number/text
+    counts and the rounded mean confidence, empty docs included."""
+    import pyarrow as _pa
+
+    from .. import oracle, synth
+    from ..operators.mediapath import span_detections
+    from ..operators.sinks import statistics_block
+    from .pipeline import explode_spans
+
+    rows = []
+    for doc in synth.synth_docs_pylist(_SINK_N_DOCS, seed=_EXTRACT_SEED,
+                                       skew_frac=_EXTRACT_SKEW):
+        doc_rows = []
+        for span in doc["spans"]:
+            if span["kind"] == "text":
+                doc_rows.append({"kind": "text", "is_number": False, "conf": 1.0})
+            else:
+                recs = oracle._dedup(
+                    oracle._media_records(doc["doc_id"], span["offset"],
+                                          span["media_ref"])
+                )
+                for r in recs:
+                    doc_rows.append({"kind": "media", "is_number": r["is_number"],
+                                     "conf": r["conf"]})
+                if not recs:  # empty-media sentinel keeps the doc alive
+                    doc_rows.append({"kind": None, "is_number": False, "conf": None})
+        if not doc_rows:  # empty doc: posexplode_outer sentinel
+            doc_rows.append({"kind": None, "is_number": False, "conf": None})
+        rows.extend({"doc_id": doc["doc_id"], **r} for r in doc_rows)
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("kind", _pa.string()),
+         ("is_number", _pa.bool_()), ("conf", _pa.float64())]
+    )
+    _write_oracle_parquet(rows, schema, f"{_MATERIALIZE_DIR}/stats_oracle.parquet")
+
+    docs = synth.synth_docs_df(spark, _SINK_N_DOCS, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
+    return statistics_block(
+        span_detections(explode_spans(docs, keep_empty_docs=True))
+    )
+
+
+SQL_STATS_BLOCK = f"""
+SELECT doc_id,
+       CAST(SUM(CASE WHEN kind = 'media' AND NOT is_number THEN 1 ELSE 0 END) AS BIGINT) AS total_place_names,
+       CAST(SUM(CASE WHEN kind = 'media' AND is_number THEN 1 ELSE 0 END) AS BIGINT) AS total_survey_numbers,
+       CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS total_text_spans,
+       round(AVG(conf), 6) AS mean_confidence
+FROM read_parquet('{_MATERIALIZE_DIR}/stats_oracle.parquet')
+GROUP BY doc_id
+"""
+
+
 _AUDIO_REFS = [f"media://wav/{i:04d}" for i in range(48)]
 
 
@@ -1264,6 +1391,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
+    "csv_sink": (q_csv_sink, SQL_CSV_SINK),
+    "json_sink": (q_json_sink, SQL_JSON_SINK),
+    "stats_block": (q_stats_block, SQL_STATS_BLOCK),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "iou_matches": (q_iou_matches, SQL_IOU_MATCHES),
     "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),

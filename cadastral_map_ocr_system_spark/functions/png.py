@@ -75,6 +75,100 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _slow_rows_python(lines: np.ndarray, fs: np.ndarray, prev: list, bpp: int):
+    """Average/Paeth decode, one row at a time in plain-Python ints
+    (lists, no per-element numpy indexing) — the small-block path."""
+    rows = []
+    for line_b, f in zip(lines, fs):
+        cur: list = []
+        ap = cur.append
+        if f == 3:
+            for i, lv in enumerate(line_b.tobytes()):
+                a = cur[i - bpp] if i >= bpp else 0
+                ap((lv + ((a + prev[i]) >> 1)) & 0xFF)
+        else:
+            for i, lv in enumerate(line_b.tobytes()):
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                ap((lv + _paeth(a, prev[i], c)) & 0xFF)
+        rows.append(cur)
+        prev = cur
+    return rows
+
+
+def _decode_avg_paeth_block(
+    lines: np.ndarray, fs: np.ndarray, prev_row: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Vectorized decode of a RUN of Average/Paeth scanlines.
+
+    Both filters recur on (left, up, up-left) neighbours only, so cells
+    on one anti-diagonal y + x = d depend solely on diagonals d-1/d-2:
+    a block of consecutive filter-3/4 rows decodes in h + w - 1
+    vectorized diagonal steps instead of h*w per-pixel Python steps
+    (~25x on a 1024x1024 Average-filtered scan; pinned by
+    tests/test_png.py). Color lanes are independent images with the
+    same wavefront, so they ride along as a trailing axis.
+    """
+    bh, stride = lines.shape
+    w = stride // bpp
+    if bh < 4:  # wavefront overhead beats the win on short runs
+        rows = _slow_rows_python(lines, fs, list(map(int, prev_row)), bpp)
+        return np.array(rows, dtype=np.uint8)
+    # Skewed layout: cell (y, x) lives at SK[y + 1, x + y + 2], the
+    # prior row P at SK[0, x + 1]. Diagonal x + y = d is then the plain
+    # column slice SK[:, d + 2] and every neighbour is a column slice
+    # of d+1 — no fancy indexing — while the zero padding IS the
+    # boundary rule (left/up-left of x < bpp slots read never-written
+    # zeros, exactly the spec's out-of-frame zeros).
+    L = lines.reshape(bh, w, bpp).astype(np.int16)
+    skw = bh + w + 2
+    # diagonal-major: SK[c] is one whole (contiguous) diagonal
+    SK = np.zeros((skw, bh + 1, bpp), dtype=np.int16)
+    LSK = np.zeros((skw, bh, bpp), dtype=np.int16)
+    SK[1 : w + 1, 0] = prev_row.reshape(w, bpp)
+    for y in range(bh):
+        LSK[y + 2 : y + 2 + w, y] = L[y]
+    all_avg = bool((fs == 3).all())
+    all_paeth = bool((fs == 4).all())
+    is_avg_col = (fs == 3)[:, None]
+    t = np.empty((min(bh, w) + 1, bpp), dtype=np.int16)  # scratch
+    for d in range(bh + w - 1):
+        y_lo = max(0, d - w + 1)
+        y_hi = min(bh - 1, d)
+        r0, r1 = y_lo + 1, y_hi + 2
+        c = d + 2
+        left = SK[c - 1, r0:r1]
+        up = SK[c - 1, r0 - 1 : r1 - 1]
+        lv = LSK[c, y_lo : y_hi + 1]
+        if all_avg:
+            s = t[: r1 - r0]
+            np.add(left, up, out=s)
+            s >>= 1
+            s += lv
+            s &= 0xFF
+            SK[c, r0:r1] = s
+            continue
+        upleft = SK[c - 2, r0 - 1 : r1 - 1]
+        p = left + up - upleft
+        pa = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc_ = np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, up, upleft)
+        )
+        pred += lv
+        pred &= 0xFF
+        if all_paeth:
+            SK[c, r0:r1] = pred
+        else:
+            avg = (lv + ((left + up) >> 1)) & 0xFF
+            SK[c, r0:r1] = np.where(is_avg_col[y_lo : y_hi + 1], avg, pred)
+    out = np.empty((bh, stride), dtype=np.uint8)
+    for y in range(bh):
+        out[y] = SK[y + 2 : y + 2 + w, y + 1].reshape(stride)
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array, shape (h, w) for grayscale or
     (h, w, 3) for RGB."""
@@ -125,12 +219,27 @@ def decode_png(payload: bytes) -> np.ndarray:
         return out if bpp == 1 else out.reshape(height, width, 3)
 
     out = np.zeros((height, stride), dtype=np.uint8)
+    filters = raw_arr[:, 0]
+    lines = raw_arr[:, 1:]
     prev = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int64)
+    y = 0
+    while y < height:
+        f = int(filters[y])
+        if f in (3, 4):
+            # Average/Paeth: left-sequential within a row, but a RUN of
+            # such rows decodes as a vectorized anti-diagonal wavefront
+            # (see _decode_avg_paeth_block)
+            y2 = y + 1
+            while y2 < height and int(filters[y2]) in (3, 4):
+                y2 += 1
+            block = _decode_avg_paeth_block(
+                lines[y:y2], filters[y:y2], prev, bpp
+            )
+            out[y:y2] = block
+            prev = block[-1].astype(np.int64)
+            y = y2
+            continue
+        line = lines[y].astype(np.int64)
         if f == 0:  # None
             cur = line
         elif f == 2:  # Up
@@ -142,23 +251,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = np.empty(stride, dtype=np.int64)
             for lane in range(bpp):
                 cur[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
-        elif f in (3, 4):
-            # Average/Paeth are genuinely left-sequential recurrences
-            # (floor-division / predictor selection break prefix-sum
-            # form), so they stay per-pixel Python — a documented
-            # limitation for megapixel scans from aggressive encoders;
-            # None/Up/Sub (the common cases) are fully vectorized.
-            cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                if f == 3:
-                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
-                else:
-                    cur[i] = (line[i] + _paeth(int(a), int(b), int(c))) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+        y += 1
     return out if bpp == 1 else out.reshape(height, width, 3)

@@ -368,11 +368,15 @@ def extract_regions_tiled(
     keeps clipped detections and NMS-suppresses duplicates,
     detect.py:1344-1419). Rather than losing detections silently, every
     margin-rejected fragment is checked against the accepted set: a
-    fragment whose absolute bbox is not contained in any accepted
-    region's bbox means some component was dropped in every tile, and
-    the payload FALLS BACK to single-pass segmentation (correctness
-    over the per-tile memory bound, counted in
-    stats['n_oversized_fallback']).
+    fragment is only safe if some accepted region's bbox CONTAINS it
+    AND that region's token contains the fragment's token as a
+    substring (so an unrelated larger region that merely happens to
+    enclose the fragment's bbox cannot mask the drop); a fragment
+    clipped on BOTH opposing tile edges cannot have an unclipped twin
+    in any tile and triggers the fallback immediately. Any orphan means
+    some component was dropped in every tile, and the payload FALLS
+    BACK to single-pass segmentation (correctness over the per-tile
+    memory bound, counted in stats['n_oversized_fallback']).
     """
     h, w = grid.shape
     tok = grid if tok_grid is None else tok_grid
@@ -382,7 +386,9 @@ def extract_regions_tiled(
             stats.setdefault("n_tiles_skipped", 0)
         return extract_regions(grid, open_mask=open_mask, tok_grid=tok)
     seen: dict[tuple, dict] = {}
-    rejected: list[tuple[int, int, int, int]] = []  # absolute clipped bboxes
+    # absolute clipped bboxes + fragment token
+    rejected: list[tuple[int, int, int, int, str]] = []
+    spans_tile = False  # a fragment clipped on both opposing edges
     n_tiles = n_skipped = 0
     m = TILE_EDGE_MARGIN
     for sy in tile_origins(h, tile, stride):
@@ -401,13 +407,16 @@ def extract_regions_tiled(
                 # drop potentially-clipped regions: closer than the
                 # margin to a tile edge is only allowed where that edge
                 # is the global edge
-                if not (
-                    (y0 >= m or sy == 0)
-                    and (x0 >= m or sx == 0)
-                    and (y1 < th - m or sy + th == h)
-                    and (x1 < tw - m or sx + tw == w)
-                ):
-                    rejected.append((sy + y0, sx + x0, sy + y1, sx + x1))
+                top = y0 < m and sy != 0
+                left = x0 < m and sx != 0
+                bottom = y1 >= th - m and sy + th != h
+                right = x1 >= tw - m and sx + tw != w
+                if top or left or bottom or right:
+                    if (top and bottom) or (left and right):
+                        spans_tile = True  # no tile can hold this one
+                    rejected.append(
+                        (sy + y0, sx + x0, sy + y1, sx + x1, reg["token"])
+                    )
                     continue
                 key = (sy + y0, sx + x0, reg["h"], reg["w"], reg["token"])
                 if key not in seen:
@@ -422,22 +431,29 @@ def extract_regions_tiled(
         stats["n_tiles"] = stats.get("n_tiles", 0) + n_tiles
         stats["n_tiles_skipped"] = stats.get("n_tiles_skipped", 0) + n_skipped
     # contract check: every clipped fragment must be contained in some
-    # accepted region (its unclipped twin from another tile); an orphan
-    # fragment means an oversized component was dropped in every tile
+    # accepted region that is genuinely its unclipped twin (bbox
+    # containment AND fragment token a substring of the twin's token);
+    # an orphan fragment — or one spanning a whole tile interior —
+    # means an oversized component was dropped in every tile
     accepted_boxes = [
-        (r["ymin"], r["xmin"], r["ymin"] + r["h"] - 1, r["xmin"] + r["w"] - 1)
+        (r["ymin"], r["xmin"], r["ymin"] + r["h"] - 1,
+         r["xmin"] + r["w"] - 1, r["token"])
         for r in seen.values()
     ]
-    for fy0, fx0, fy1, fx1 in rejected:
-        if not any(
+    orphan = spans_tile or any(
+        not any(
             ay0 <= fy0 and ax0 <= fx0 and fy1 <= ay1 and fx1 <= ax1
-            for ay0, ax0, ay1, ax1 in accepted_boxes
-        ):
-            if stats is not None:
-                stats["n_oversized_fallback"] = (
-                    stats.get("n_oversized_fallback", 0) + 1
-                )
-            return extract_regions(grid, open_mask=open_mask, tok_grid=tok)
+            and ftok in atok
+            for ay0, ax0, ay1, ax1, atok in accepted_boxes
+        )
+        for fy0, fx0, fy1, fx1, ftok in rejected
+    )
+    if orphan:
+        if stats is not None:
+            stats["n_oversized_fallback"] = (
+                stats.get("n_oversized_fallback", 0) + 1
+            )
+        return extract_regions(grid, open_mask=open_mask, tok_grid=tok)
     regions = list(seen.values())
     regions.sort(key=lambda r: (r["ymin"], r["xmin"]))
     return regions

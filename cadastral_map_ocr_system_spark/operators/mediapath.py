@@ -876,8 +876,69 @@ def media_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         yield pa.RecordBatch.from_pylist(buf, schema=DETECTIONS_ARROW)
 
 
+def write_tile_metrics(tile_metrics_dir: str, stats: dict) -> None:
+    """Retry-exact lineage channel: one metric file per TASK ATTEMPT,
+    keyed (stage, partition, attempt) via TaskContext, written
+    atomically (tmp + rename). The reader MAX-dedups per (stage,
+    partition), so task retries and speculative duplicates can never
+    over-count — unlike accumulators, which Spark re-applies on
+    re-execution. Local-FS here; a cluster deployment points this at
+    shared storage (the same contract object stores give)."""
+    import json
+    import os as _os
+
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    if tc is None:
+        return
+    _os.makedirs(tile_metrics_dir, exist_ok=True)
+    name = f"s{tc.stageId()}_p{tc.partitionId()}_a{tc.attemptNumber()}.json"
+    tmp = _os.path.join(tile_metrics_dir, "." + name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "stage_id": tc.stageId(),
+                "partition_id": tc.partitionId(),
+                "attempt": tc.attemptNumber(),
+                "n_tiles": stats.get("n_tiles", 0),
+                "n_tiles_skipped": stats.get("n_tiles_skipped", 0),
+            },
+            f,
+        )
+    _os.replace(tmp, _os.path.join(tile_metrics_dir, name))
+
+
+def read_tile_metrics(tile_metrics_dir: str) -> dict:
+    """Aggregate task metric files, keeping ONE row per (stage,
+    partition) — the highest attempt; identical work per attempt makes
+    any surviving attempt's counts the partition's exact counts."""
+    import json
+    import os as _os
+
+    best: dict[tuple, dict] = {}
+    if not _os.path.isdir(tile_metrics_dir):
+        return {"n_tiles": 0, "n_tiles_skipped": 0, "max_attempt": 0}
+    for name in _os.listdir(tile_metrics_dir):
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        with open(_os.path.join(tile_metrics_dir, name)) as f:
+            row = json.load(f)
+        key = (row["stage_id"], row["partition_id"])
+        if key not in best or row["attempt"] > best[key]["attempt"]:
+            best[key] = row
+    return {
+        "n_tiles": sum(r["n_tiles"] for r in best.values()),
+        "n_tiles_skipped": sum(r["n_tiles_skipped"] for r in best.values()),
+        "max_attempt": max((r["attempt"] for r in best.values()), default=0),
+    }
+
+
 def span_batches(
-    batches: Iterator[pa.RecordBatch], tile_skip_acc=None, tile_acc=None
+    batches: Iterator[pa.RecordBatch],
+    tile_skip_acc=None,
+    tile_acc=None,
+    tile_metrics_dir: str | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Single-pass mapInArrow body over ALL spans.
 
@@ -960,12 +1021,18 @@ def span_batches(
         tile_acc.add(tile_stats.get("n_tiles", 0))
     if tile_skip_acc is not None:
         tile_skip_acc.add(tile_stats.get("n_tiles_skipped", 0))
+    if tile_metrics_dir is not None:
+        write_tile_metrics(tile_metrics_dir, tile_stats)
 
 
-def span_detections(spans_df, tile_skip_acc=None, tile_acc=None):
+def span_detections(
+    spans_df, tile_skip_acc=None, tile_acc=None, tile_metrics_dir=None
+):
     """DataFrame stage: ALL exploded spans -> detection rows in one
-    Python stage (see span_batches). Optional Spark accumulators
-    receive per-partition tiling counts for lineage metrics."""
+    Python stage (see span_batches). Tiling counts for lineage flow out
+    either through optional Spark accumulators (approximate: retries
+    over-count) or through tile_metrics_dir per-attempt metric files
+    (retry-exact; see write_tile_metrics)."""
     schema = (
         "doc_id string, offset int, region_idx int, token_idx int, "
         "kind string, text string, media_ref string, conf double, "
@@ -973,7 +1040,7 @@ def span_detections(spans_df, tile_skip_acc=None, tile_acc=None):
     )
 
     def body(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        yield from span_batches(batches, tile_skip_acc, tile_acc)
+        yield from span_batches(batches, tile_skip_acc, tile_acc, tile_metrics_dir)
 
     return spans_df.select(
         "doc_id", "kind", "text", "media_ref", "offset"

@@ -55,6 +55,7 @@ def extract(
     spread_spans: bool = True,
     tile_skip_acc=None,
     tile_acc=None,
+    tile_metrics_dir: str | None = None,
 ) -> DataFrame:
     """Full pipeline: docs -> extracted(doc_id, spans).
 
@@ -67,6 +68,8 @@ def extract(
 
     tile_skip_acc / tile_acc: optional Spark accumulators that receive
     the E3 tiling counts (tiles processed / skipped) for lineage.
+    tile_metrics_dir: optional directory for the retry-exact per-attempt
+    metric files (mediapath.write_tile_metrics).
     """
     spans = explode_spans(docs, keep_empty_docs=True)
     if spread_spans:
@@ -74,7 +77,12 @@ def extract(
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         spans = spans.repartition(n, "doc_id", "offset")
 
-    rows = span_detections(spans, tile_skip_acc=tile_skip_acc, tile_acc=tile_acc)
+    rows = span_detections(
+        spans,
+        tile_skip_acc=tile_skip_acc,
+        tile_acc=tile_acc,
+        tile_metrics_dir=tile_metrics_dir,
+    )
     cleaned = rows.withColumn(
         "text",
         F.when(F.col("kind") == "text", strip_boilerplate(F.col("text"))).otherwise(

@@ -91,15 +91,17 @@ def run_extraction(
     )
     committed_ids = {r["partition_id"] for r in committed.collect()}
 
-    # E3 tiling lineage: accumulators collect per-task tile counts
-    tile_acc = spark.sparkContext.accumulator(0)
-    tile_skip_acc = spark.sparkContext.accumulator(0)
+    from ..operators.mediapath import read_tile_metrics
 
     commits_done = 0
     for lo in range(0, len(pending_buckets), buckets_per_commit):
         group = pending_buckets[lo : lo + buckets_per_commit]
         t0 = time.perf_counter()
-        tiles_before, skips_before = tile_acc.value, tile_skip_acc.value
+        # E3 tiling lineage: RETRY-EXACT per-attempt metric files (one
+        # dir per commit group), MAX-deduped per (stage, partition) at
+        # read — replaces the accumulator channel, which over-counts on
+        # task retries/speculation
+        tile_metrics_dir = f"{checkpoint_path}_tiles/{run_id}/g{group[0]}"
         sub = pending_docs.filter(F.col("bucket").isin(group))
 
         in_stats = {
@@ -115,7 +117,7 @@ def run_extraction(
         }
 
         result = extract(
-            sub.drop("bucket"), tile_skip_acc=tile_skip_acc, tile_acc=tile_acc
+            sub.drop("bucket"), tile_metrics_dir=tile_metrics_dir
         ).withColumn("bucket", bucket_of(F.col("doc_id"), n_buckets))
         # dynamic partition overwrite: replaces exactly these buckets
         result.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
@@ -132,15 +134,17 @@ def run_extraction(
             .collect()
         }
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        n_tiles_group = tile_acc.value - tiles_before
-        n_skips_group = tile_skip_acc.value - skips_before
+        tiles = read_tile_metrics(tile_metrics_dir)
+        n_tiles_group = tiles["n_tiles"]
+        n_skips_group = tiles["n_tiles_skipped"]
 
-        # Tiling counts are commit-group-grain (accumulators cannot be
-        # split per bucket) and are stored on the group's FIRST bucket
-        # row only, so SUM(n_tiles) over the checkpoint table equals the
-        # run total instead of overstating by buckets_per_commit. They
-        # remain APPROXIMATE upper bounds: accumulators updated inside
-        # mapInArrow over-count on task retries/speculative re-execution.
+        # Tiling counts are commit-group-grain (one metrics dir per
+        # group) and are stored on the group's FIRST bucket row only,
+        # so SUM(n_tiles) over the checkpoint table equals the run
+        # total instead of overstating by buckets_per_commit. They are
+        # EXACT under task retries/speculation: each task attempt
+        # writes its own (stage, partition, attempt) metric file and
+        # the reader keeps one attempt per partition.
         lineage = [
             {
                 "run_id": run_id,
@@ -154,7 +158,7 @@ def run_extraction(
                 "n_tiles": int(n_tiles_group) if b == group[0] else 0,
                 "n_tiles_skipped": int(n_skips_group) if b == group[0] else 0,
                 "wall_ms": wall_ms,
-                "attempt": 1,
+                "attempt": int(tiles["max_attempt"]) + 1,
             }
             for b in group
         ]

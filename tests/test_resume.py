@@ -81,3 +81,34 @@ def test_rerun_after_success_is_noop(spark, tmp_path):
     ck = spark.read.parquet(ckpt)
     assert ck.count() == 4  # nothing re-attempted
     assert _collect(read_extracted(spark, out)) == before
+
+
+def test_tile_metrics_dedup_on_retries(tmp_path):
+    """Retry-exact lineage (VERDICT r3 #8): per-attempt metric files are
+    MAX-deduped per (stage, partition), so a retried/speculative task
+    attempt can never double-count its tiles."""
+    import json
+
+    from cadastral_map_ocr_system_spark.operators.mediapath import (
+        read_tile_metrics,
+    )
+
+    d = str(tmp_path / "tiles")
+    import os
+
+    os.makedirs(d)
+    rows = [
+        {"stage_id": 5, "partition_id": 0, "attempt": 0, "n_tiles": 7, "n_tiles_skipped": 1},
+        {"stage_id": 5, "partition_id": 1, "attempt": 0, "n_tiles": 3, "n_tiles_skipped": 0},
+        # partition 1 retried: same work, higher attempt — must replace,
+        # not add
+        {"stage_id": 5, "partition_id": 1, "attempt": 1, "n_tiles": 3, "n_tiles_skipped": 0},
+    ]
+    for r in rows:
+        name = f"s{r['stage_id']}_p{r['partition_id']}_a{r['attempt']}.json"
+        json.dump(r, open(os.path.join(d, name), "w"))
+    got = read_tile_metrics(d)
+    assert got == {"n_tiles": 10, "n_tiles_skipped": 1, "max_attempt": 1}
+    assert read_tile_metrics(str(tmp_path / "missing")) == {
+        "n_tiles": 0, "n_tiles_skipped": 0, "max_attempt": 0,
+    }

@@ -1215,6 +1215,67 @@ def _write_oracle_matches(oracle_matches: list[dict]) -> None:
     )
 
 
+# ------------------------------------------------------------ streaming (§2.9)
+_STREAM_N_DOCS, _STREAM_SEED = 150, 7
+
+
+def q_stream_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 Structured Streaming: readStream over a docs parquet dir ->
+    foreachBatch extract -> exactly-once epoch-partitioned sink, drained
+    with availableNow; the sink contents (read back from disk, exploded
+    flat) verify against the INDEPENDENT oracle's golden span sequences
+    for the same corpus — upgrading streaming from unit-only to the
+    full value-hash gate."""
+    import pyarrow as _pa
+
+    from .. import oracle, synth
+    from ..streaming.stream import stream_extract
+
+    golden = oracle.extract_corpus(
+        synth.synth_docs_pylist(_STREAM_N_DOCS, seed=_STREAM_SEED,
+                                skew_frac=_EXTRACT_SKEW)
+    )
+    rows = [
+        {"doc_id": d, "order": t[3], "kind": t[0], "text": t[1], "media_ref": t[2]}
+        for d, seq in golden.items()
+        for t in seq
+    ]
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("order", _pa.int32()), ("kind", _pa.string()),
+         ("text", _pa.string()), ("media_ref", _pa.string())]
+    )
+    _write_oracle_parquet(rows, schema, f"{_MATERIALIZE_DIR}/stream_oracle.parquet")
+
+    in_path = f"{_MATERIALIZE_DIR}/stream_in_parquet"
+    out_path = f"{_MATERIALIZE_DIR}/stream_out_parquet"
+    ck_path = f"{_MATERIALIZE_DIR}/stream_ck"
+    for d in (out_path, ck_path):  # fresh drain every invocation
+        _shutil.rmtree(d, ignore_errors=True)
+    synth.synth_docs_df(spark, _STREAM_N_DOCS, seed=_STREAM_SEED,
+                        skew_frac=_EXTRACT_SKEW).write.mode(
+        "overwrite"
+    ).parquet(in_path)
+    q = stream_extract(spark, in_path, out_path, ck_path, trigger_once=True)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_path)
+        .select("doc_id", F.explode("spans").alias("span"))
+        .select(
+            "doc_id",
+            F.col("span.order").alias("order"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+    )
+
+
+SQL_STREAM_EXTRACT = f"""
+SELECT doc_id, "order", kind, text, media_ref
+FROM read_parquet('{_MATERIALIZE_DIR}/stream_oracle.parquet')
+"""
+
+
 # ------------------------------------------------------------- sinks (K1-K3)
 _SINK_N_DOCS = 120
 
@@ -1467,6 +1528,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
+    "stream_extract": (q_stream_extract, SQL_STREAM_EXTRACT),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "json_sink": (q_json_sink, SQL_JSON_SINK),
     "stats_block": (q_stats_block, SQL_STATS_BLOCK),

@@ -712,3 +712,29 @@ def color_coverage_rows(ref: str) -> list[dict]:
             }
         )
     return out
+
+
+def nms_rows(box_rows: list[dict], threshold: float) -> list[dict]:
+    """Independent mirror of operators.nms.nms_boxes: per (doc_id,
+    offset) group, greedy confidence-descending suppression with the
+    same (conf desc, box asc) total order; shares only the py_iou leaf."""
+    from .functions.geometry import py_iou as _iou
+
+    groups: dict[tuple, list[dict]] = {}
+    for r in box_rows:
+        groups.setdefault((r["doc_id"], r["offset"]), []).append(r)
+    out = []
+    for rows in groups.values():
+        ordered = sorted(
+            rows, key=lambda r: (-r["conf"], (r["x"], r["y"], r["w"], r["h"]))
+        )
+        kept: list[dict] = []
+        for r in ordered:
+            if all(
+                _iou((r["x"], r["y"], r["w"], r["h"]),
+                     (k["x"], k["y"], k["w"], k["h"])) <= threshold
+                for k in kept
+            ):
+                kept.append(r)
+        out.extend(kept)
+    return out

@@ -1403,6 +1403,58 @@ GROUP BY doc_id
 """
 
 
+def q_nms_suppress(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 overlap suppression (detect.py:1421-1463): the grouped-map
+    NMS runs LIVE on a deterministic fixture of dense overlapping boxes
+    (blake2b-derived, ~30 per payload so suppression is heavy); the
+    oracle SQL selects survivors from an independently-written greedy
+    loop (oracle.nms_rows)."""
+    import hashlib
+
+    import pyarrow as _pa
+
+    from .. import oracle
+    from ..operators.nms import nms_boxes
+
+    rows = []
+    for g in range(40):
+        for i in range(30):
+            h = int.from_bytes(
+                hashlib.blake2b(f"nms:{g}:{i}".encode(), digest_size=8).digest(),
+                "big",
+            )
+            rows.append(
+                {
+                    "doc_id": f"doc-{g:04d}", "offset": g % 5,
+                    "x": float(h % 100), "y": float((h >> 8) % 80),
+                    "w": float(6 + (h >> 16) % 10), "h": float(4 + (h >> 24) % 6),
+                    "conf": ((h >> 32) % 997) / 1000.0,
+                }
+            )
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("offset", _pa.int32()),
+         ("x", _pa.float64()), ("y", _pa.float64()), ("w", _pa.float64()),
+         ("h", _pa.float64()), ("conf", _pa.float64())]
+    )
+    survivors = oracle.nms_rows(rows, threshold=0.3)
+    assert len(survivors) < len(rows)  # fixture must actually overlap
+    _write_oracle_parquet(survivors, schema, f"{_MATERIALIZE_DIR}/nms_oracle.parquet")
+
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["offset"], r["x"], r["y"], r["w"], r["h"], r["conf"])
+         for r in rows],
+        "doc_id string, offset int, x double, y double, w double, "
+        "h double, conf double",
+    )
+    return nms_boxes(df, group_cols=("doc_id", "offset"), threshold=0.3)
+
+
+SQL_NMS_SUPPRESS = f"""
+SELECT doc_id, "offset", x, y, w, h, conf
+FROM read_parquet('{_MATERIALIZE_DIR}/nms_oracle.parquet')
+"""
+
+
 _AUDIO_REFS = [f"media://wav/{i:04d}" for i in range(48)]
 
 
@@ -1532,6 +1584,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "json_sink": (q_json_sink, SQL_JSON_SINK),
     "stats_block": (q_stats_block, SQL_STATS_BLOCK),
+    "nms_suppress": (q_nms_suppress, SQL_NMS_SUPPRESS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "iou_matches": (q_iou_matches, SQL_IOU_MATCHES),
     "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),

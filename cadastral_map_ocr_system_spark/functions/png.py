@@ -200,10 +200,35 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+    # typed rejections naming the unsupported feature: a real-world
+    # crawl payload in one of these subformats must fail HERE with a
+    # diagnosable error, not somewhere inside scanline reconstruction
+    # (cv2.imread accepts all of these silently, OCR/src/detect.py:122
+    # — this codec states its envelope instead)
+    if interlace != 0:
         raise ValueError(
-            f"unsupported PNG variant (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}); this codec handles 8-bit gray/RGB"
+            "unsupported PNG feature: Adam7 interlacing (interlace=1); "
+            "this codec decodes non-interlaced images only"
+        )
+    if color_type == 3:
+        raise ValueError(
+            "unsupported PNG feature: palette-indexed color (color type 3); "
+            "this codec decodes 8-bit grayscale (0) and RGB (2) only"
+        )
+    if color_type in (4, 6):
+        raise ValueError(
+            f"unsupported PNG feature: alpha channel (color type {color_type}); "
+            "this codec decodes 8-bit grayscale (0) and RGB (2) only"
+        )
+    if bit_depth != 8:
+        raise ValueError(
+            f"unsupported PNG feature: bit depth {bit_depth}; "
+            "this codec decodes 8-bit samples only"
+        )
+    if color_type not in (0, 2):
+        raise ValueError(
+            f"unsupported PNG feature: color type {color_type}; "
+            "this codec decodes 8-bit grayscale (0) and RGB (2) only"
         )
     bpp = 1 if color_type == 0 else 3
     stride = width * bpp

@@ -87,12 +87,19 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "sample_rate": None,
                 }
                 if media_type == "audio":
-                    samples, rate = _decode_audio(b)
-                    row.update(
-                        n_channels=int(samples.shape[1]),
-                        n_frames=int(samples.shape[0]),
-                        sample_rate=int(rate),
-                    )
+                    # per-item codec-error contract (functions/wav.py):
+                    # a truncated/non-PCM blob yields a null-metadata
+                    # row, never a task failure that kills the batch
+                    try:
+                        samples, rate = _decode_audio(b)
+                    except ValueError:
+                        samples = None
+                    if samples is not None:
+                        row.update(
+                            n_channels=int(samples.shape[1]),
+                            n_frames=int(samples.shape[0]),
+                            sample_rate=int(rate),
+                        )
                 elif media_type == "image":
                     if is_png(b):
                         img = decode_png(b)
@@ -160,7 +167,21 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["ref"], pdf[payload_col]):
-                samples, rate = _decode_audio(bytes(payload))
+                try:
+                    samples, rate = _decode_audio(bytes(payload))
+                except ValueError:
+                    # per-item codec error -> null-feature row
+                    rows.append(
+                        {
+                            "ref": ref,
+                            "n_frames": None,
+                            "sample_rate": None,
+                            "rms": None,
+                            "mean_amplitude": None,
+                            "zero_crossing_rate": None,
+                        }
+                    )
+                    continue
                 x = samples.astype(np.float64)
                 if samples.dtype == np.uint8:
                     x -= 128.0  # center unsigned 8-bit at zero

@@ -1416,8 +1416,11 @@ def q_json_sink(spark: SparkSession, sf: str) -> DataFrame:
     docs = synth.synth_docs_df(spark, _SINK_N_DOCS, seed=_EXTRACT_SEED,
                                skew_frac=_EXTRACT_SKEW)
     ex = extract(docs)
-    # single part file: avoids empty-part JSON files in the glob
-    write_detailed_json(ex.coalesce(1), f"{_MATERIALIZE_DIR}/detailed_json")
+    # multi-task write, exactly as a product caller would: DuckDB's
+    # read_json_auto glob skips the empty part files a sparse frame
+    # leaves behind, so no coalesce is needed (or wanted — a
+    # single-task write is not the pattern to exemplify)
+    write_detailed_json(ex, f"{_MATERIALIZE_DIR}/detailed_json")
     return ex.select("doc_id", F.explode("spans").alias("span")).select(
         "doc_id",
         F.col("span.order").alias("order"),

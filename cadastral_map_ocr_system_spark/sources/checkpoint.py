@@ -24,6 +24,7 @@ sources/tables.py on the format choice).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,6 +103,12 @@ def run_extraction(
         # read — replaces the accumulator channel, which over-counts on
         # task retries/speculation
         tile_metrics_dir = f"{checkpoint_path}_tiles/{run_id}/g{group[0]}"
+        # crash-resume correctness for the metrics channel: a prior
+        # attempt of this UNCOMMITTED group may have left metric files
+        # behind, and the new SparkContext assigns different stage IDs —
+        # the per-(stage, partition) MAX-dedup would then double-count.
+        # Each (re-)processing of a group starts from an empty dir.
+        shutil.rmtree(tile_metrics_dir, ignore_errors=True)
         sub = pending_docs.filter(F.col("bucket").isin(group))
 
         in_stats = {

@@ -34,6 +34,23 @@ def test_extract_plan_shape(spark, tmp_path):
     assert "MapInArrow" in plan
 
 
+def test_extract_partitions_conf_overrides_default(spark, tmp_path):
+    """spark_graft.extract.partitions must override defaultParallelism
+    for the Python-dense stage (ADVICE r4: defaultParallelism is
+    evaluated at plan time and can be tiny under dynamic allocation)."""
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(synth.synth_docs_pylist(10, seed=4), schema=DOCS).write.parquet(path)
+    docs = spark.read.parquet(path)
+    spark.conf.set("spark_graft.extract.partitions", "7")
+    try:
+        plan = _plan(spark, extract(docs))
+    finally:
+        spark.conf.unset("spark_graft.extract.partitions")
+    assert "hashpartitioning(doc_id" in plan and ", 7)" in plan, plan
+    default_plan = _plan(spark, extract(docs))
+    assert f", {spark.sparkContext.defaultParallelism})" in default_plan
+
+
 def test_minhash_lsh_plan_no_self_join(spark):
     """The LSH candidate plan must stay the fused no-self-join shape
     (VERDICT r4 next-round #2): a SortMergeJoin of the shingle frame

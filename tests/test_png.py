@@ -88,6 +88,42 @@ def test_crc_corruption_raises():
         decode_png(bytes(p))
 
 
+def _png_hdr(w, h, depth, color_type, interlace, raw: bytes) -> bytes:
+    return (
+        PNG_SIGNATURE
+        + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+        )
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_palette_png_rejected_with_typed_error():
+    b = _png_hdr(4, 4, 8, 3, 0, bytes(4 * 5))
+    with pytest.raises(ValueError, match="palette-indexed color"):
+        decode_png(b)
+
+
+def test_16bit_png_rejected_with_typed_error():
+    b = _png_hdr(4, 4, 16, 0, 0, bytes(4 * 9))
+    with pytest.raises(ValueError, match="bit depth 16"):
+        decode_png(b)
+
+
+def test_alpha_png_rejected_with_typed_error():
+    for ct in (4, 6):
+        b = _png_hdr(4, 4, 8, ct, 0, bytes(4 * 5))
+        with pytest.raises(ValueError, match="alpha channel"):
+            decode_png(b)
+
+
+def test_adam7_png_rejected_with_typed_error():
+    b = _png_hdr(4, 4, 8, 0, 1, bytes(4 * 5))
+    with pytest.raises(ValueError, match="Adam7 interlacing"):
+        decode_png(b)
+
+
 def test_media_metadata_on_real_png(spark):
     from cadastral_map_ocr_system_spark.operators.multimodal import (
         media_metadata,

@@ -92,6 +92,41 @@ def test_audio_metadata_and_features(spark):
     assert feats["media://raw/x"]["n_frames"] == 5
 
 
+def test_corrupt_wav_yields_null_row_not_task_failure(spark):
+    """Per-item codec-error contract (ADVICE r4): a payload that passes
+    is_wav but is truncated/non-PCM must surface as a null-metadata /
+    null-feature ROW — never a ValueError out of the mapInPandas body
+    that fails the whole task."""
+    from cadastral_map_ocr_system_spark.operators.multimodal import (
+        audio_features,
+        media_metadata,
+    )
+
+    good_ref = "media://wav/0"
+    good = synth.wav_payload(good_ref)
+    truncated = good[:30]  # still has RIFF/WAVE magic, chunk is torn
+    non_pcm = bytearray(good)
+    fmt_at = non_pcm.index(b"fmt ") + 8
+    non_pcm[fmt_at : fmt_at + 2] = (3).to_bytes(2, "little")
+    rows = [
+        (good_ref, "audio", bytearray(good)),
+        ("media://wav/torn", "audio", bytearray(truncated)),
+        ("media://wav/float", "audio", bytearray(bytes(non_pcm))),
+    ]
+    df = spark.createDataFrame(rows, "ref string, media_type string, payload binary")
+
+    meta = {r["ref"]: r for r in media_metadata(df).collect()}
+    feats = {r["ref"]: r for r in audio_features(df).collect()}
+    assert len(meta) == 3 and len(feats) == 3  # no row lost to a crash
+    assert meta[good_ref]["n_frames"] > 0 and feats[good_ref]["rms"] > 0
+    for bad in ("media://wav/torn", "media://wav/float"):
+        assert meta[bad]["n_frames"] is None
+        assert meta[bad]["sample_rate"] is None
+        assert meta[bad]["n_bytes"] > 0  # byte-level metadata still real
+        assert feats[bad]["rms"] is None
+        assert feats[bad]["zero_crossing_rate"] is None
+
+
 def test_no_stubs_left_in_package():
     """VERDICT r3 'missing' #1: zero NotImplementedError in the package."""
     import pathlib

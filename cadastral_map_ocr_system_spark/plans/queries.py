@@ -802,12 +802,17 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# bsize mirrors the max_bucket star-pair cap (same guard as the LSH
+# oracles): over-cap sign buckets contribute only (min_id, other) pairs
 SQL_EMB_NEAR_DUPS = f"""
-WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+bsize AS (SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id FROM e GROUP BY 1)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.2
+JOIN bsize s ON s.bucket = a.bucket
+WHERE (s.n <= 64 OR a.vec_id = s.min_id)
+  AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.2
 """
 
 

@@ -187,6 +187,46 @@ def test_simhash_degenerate_bucket_capped(spark):
     assert report and max(r["bucket_size"] for r in report) > 1000
 
 
+def test_embedding_near_dups_degenerate_cluster_capped(spark):
+    """A tight embedding cluster puts thousands of vectors in ONE sign
+    bucket; pair generation must stay linear (star cap), never the n^2
+    self-join product — the defect the sf1 bench exposed (37x over
+    linear at 10x scale)."""
+    import numpy as np
+
+    from cadastral_map_ocr_system_spark.operators import ann
+
+    rs = np.random.RandomState(3)
+    center = np.abs(rs.randn(16)) + 0.5  # all-positive -> one bucket
+    vecs = center + 0.01 * rs.randn(3000, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = ann.embedding_near_dups(df, threshold=0.2, n_dims=8, max_bucket=64).collect()
+    assert 0 < len(pairs) <= 2999  # star, not ~4.5M full pairs
+    assert all(r["vec_a"] == 0 for r in pairs)  # star around min vec_id
+    ledger = ann.embedding_bucket_caps(df, n_dims=8, max_bucket=64).collect()
+    assert ledger and ledger[0]["bucket_size"] == 3000
+    assert ledger[0]["pairs_suppressed"] == 3000 * 2999 // 2 - 2999
+
+
+def test_embedding_near_dups_cap_no_loss_on_normal_corpus(spark):
+    """Driver fixture sign buckets are tiny (~2-8 vectors): capped and
+    uncapped results are identical."""
+    from cadastral_map_ocr_system_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    capped = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in ann.embedding_near_dups(emb, threshold=0.2, max_bucket=64).collect()
+    }
+    uncapped = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in ann.embedding_near_dups(emb, threshold=0.2, max_bucket=1 << 30).collect()
+    }
+    assert capped == uncapped and capped
+    assert not ann.embedding_bucket_caps(emb, max_bucket=64).collect()
+
+
 def test_lang_id_flags_stopword_text(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and the dog"), (2, "wort katze hund baum haus")],

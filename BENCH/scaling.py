@@ -169,7 +169,10 @@ the timed region.
 
 **Scaling efficiency (T_N / T_4N) / 4: MEDIAN over the
 {len(accepted)} ACCEPTED current-fixture runs = {median}** (north_rule
-target: >= 0.8); raw median over all {len(cur)} current-fixture runs
+target: >= 0.8); accepted-run spread
+[{min(r["scaling_efficiency_n_to_4n"] for r in accepted)},
+{max(r["scaling_efficiency_n_to_4n"] for r in accepted)}];
+raw median over all {len(cur)} current-fixture runs
 = {median_raw}; best run {summary["scaling_efficiency_n_to_4n"]}.
 
 ## Measurement protocol and run history
@@ -220,6 +223,13 @@ processes smaller synthetic documents, so absolute docs/sec is not
 directly comparable; the scaling efficiency and the per-core
 throughput profile are the portable numbers.
 """
+    # standalone sections maintained by hand survive regeneration:
+    # families.md (per-family payload costs + normalized throughput),
+    # sf1.md (the 10x scale point)
+    for extra in ("families.md", "sf1.md"):
+        p = os.path.join(REPO, "BENCH", extra)
+        if os.path.exists(p):
+            md += "\n" + open(p).read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 

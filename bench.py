@@ -45,9 +45,11 @@ FAMILY_SPECS = [
     ("rgb", "media://rgb/", 500, 4),
     ("lowc", "media://lowc/", 500, 4),
     ("rot", "media://rot/", 500, 4),
-    ("big", "media://big/", 120, 4),
-    ("huge", "media://huge/", 32, 4),
-    ("hires", "media://hires/", 32, 4),
+    # heavy-rare families need enough payloads that their cost resolves
+    # clearly above the per-job constant (~0.8 s on this host)
+    ("big", "media://big/", 250, 4),
+    ("huge", "media://huge/", 120, 4),
+    ("hires", "media://hires/", 120, 4),
 ]
 
 
@@ -176,13 +178,16 @@ def main() -> None:
         if fam == "overhead":
             overhead_sec = best
             continue
-        families[fam] = {
-            "sec": round(best, 3),
-            "n_payloads": n_docs * m,
-            "ms_per_payload": round(
-                max(best - overhead_sec, 0.0) * 1000 / (n_docs * m), 4
-            ),
-        }
+        families[fam] = {"sec": round(best, 3), "n_payloads": n_docs * m}
+
+    # probe minima land in different host-interference windows, so the
+    # overhead probe's min can exceed a cheap family's min; the true
+    # job constant is bounded above by EVERY probe — use the global min
+    overhead_sec = min([overhead_sec] + [f["sec"] for f in families.values()])
+    for f in families.values():
+        f["ms_per_payload"] = round(
+            (f["sec"] - overhead_sec) * 1000 / f["n_payloads"], 4
+        )
 
     # main-corpus payload mix: maps the per-family costs onto THIS
     # fixture's mix so predicted vs measured extract cost is a number

@@ -1,15 +1,23 @@
-"""Minimal pure-Python PNG codec (zlib only — no Pillow/cv2 in this
-container). Enough of the spec (ISO/IEC 15948) for real round-trips:
+"""Pure-Python PNG codec (zlib only — no Pillow/cv2 in this
+container), covering the full static-image spec (ISO/IEC 15948):
 
-  decode: 8-bit grayscale (color type 0) and 8-bit RGB (color type 2),
-          all five scanline filters (None/Sub/Up/Average/Paeth),
-          multi-IDAT streams, non-interlaced
-  encode: 8-bit grayscale, filter 0
+  decode: every valid (color type, bit depth) combination — grayscale
+          1/2/4/8/16-bit, RGB 8/16-bit, palette 1/2/4/8-bit (PLTE),
+          gray+alpha and RGBA 8/16-bit — all five scanline filters
+          (None/Sub/Up/Average/Paeth), multi-IDAT streams, and both
+          interlace methods (none + Adam7). Output is always 8-bit:
+          16-bit samples take their high byte, sub-8-bit grayscale is
+          rescaled to [0, 255], palette indices map through PLTE, and
+          alpha composites over a white background (integer-exact
+          (c*a + 255*(255-a) + 127) // 255). Ancillary chunks (tRNS,
+          gAMA, ...) are CRC-checked and skipped.
+  encode: 8-bit grayscale / RGB, filter 0, non-interlaced
 
 This replaces the image-codec stub in operators/multimodal.py for PNG
 payloads: `media_metadata` / `frame_sample_features` / texture stats
 run on real image bytes end to end (the reference loads scans via
-cv2.imread, OCR/src/detect.py:122-128).
+cv2.imread which accepts these subformats silently,
+OCR/src/detect.py:122-128).
 """
 
 from __future__ import annotations
@@ -169,80 +177,36 @@ def _decode_avg_paeth_block(
     return out
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array, shape (h, w) for grayscale or
-    (h, w, 3) for RGB."""
-    if not is_png(payload):
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        if pos + 12 + length > len(payload):
-            # a corrupt payload in a media batch must surface as a codec
-            # ValueError, not a struct.error from a short CRC slice
-            raise ValueError(f"truncated PNG chunk {tag!r}")
-        body = payload[pos + 8 : pos + 8 + length]
-        expect = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0]
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != expect:
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    # typed rejections naming the unsupported feature: a real-world
-    # crawl payload in one of these subformats must fail HERE with a
-    # diagnosable error, not somewhere inside scanline reconstruction
-    # (cv2.imread accepts all of these silently, OCR/src/detect.py:122
-    # — this codec states its envelope instead)
-    if interlace != 0:
-        raise ValueError(
-            "unsupported PNG feature: Adam7 interlacing (interlace=1); "
-            "this codec decodes non-interlaced images only"
-        )
-    if color_type == 3:
-        raise ValueError(
-            "unsupported PNG feature: palette-indexed color (color type 3); "
-            "this codec decodes 8-bit grayscale (0) and RGB (2) only"
-        )
-    if color_type in (4, 6):
-        raise ValueError(
-            f"unsupported PNG feature: alpha channel (color type {color_type}); "
-            "this codec decodes 8-bit grayscale (0) and RGB (2) only"
-        )
-    if bit_depth != 8:
-        raise ValueError(
-            f"unsupported PNG feature: bit depth {bit_depth}; "
-            "this codec decodes 8-bit samples only"
-        )
-    if color_type not in (0, 2):
-        raise ValueError(
-            f"unsupported PNG feature: color type {color_type}; "
-            "this codec decodes 8-bit grayscale (0) and RGB (2) only"
-        )
-    bpp = 1 if color_type == 0 else 3
-    stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG IDAT length mismatch")
+# samples per pixel and legal bit depths, per color type (spec §11.2.2)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grids: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+
+def _reconstruct(raw_arr: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """Undo scanline filtering. raw_arr: (h, stride+1) uint8 with the
+    filter byte in column 0; bpp = filter step in BYTES (max(1,
+    bits_per_pixel // 8), spec §9.2). Returns (h, stride) uint8."""
+    height = raw_arr.shape[0]
     if not raw_arr[:, 0].any():
         # all scanlines use filter 0 (this codec's own encoder output,
         # and common for synthetic/flat images): no per-row work at all
-        out = np.ascontiguousarray(raw_arr[:, 1:])
-        return out if bpp == 1 else out.reshape(height, width, 3)
-
+        return np.ascontiguousarray(raw_arr[:, 1:])
     out = np.zeros((height, stride), dtype=np.uint8)
     filters = raw_arr[:, 0]
     lines = raw_arr[:, 1:]
@@ -281,4 +245,135 @@ def decode_png(payload: bytes) -> np.ndarray:
         out[y] = cur.astype(np.uint8)
         prev = cur
         y += 1
-    return out if bpp == 1 else out.reshape(height, width, 3)
+    return out
+
+
+def _samples8(
+    recon: np.ndarray, w: int, depth: int, ch: int, raw_index: bool
+) -> np.ndarray:
+    """Reconstructed scanline bytes (h, stride) -> (h, w, ch) uint8
+    samples. 16-bit takes the high byte; sub-8-bit grayscale rescales
+    to [0, 255] unless raw_index (palette indices must stay raw)."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        # big-endian sample pairs: the high byte IS the >>8 value
+        return np.ascontiguousarray(recon[:, 0 : 2 * w * ch : 2]).reshape(h, w, ch)
+    # depth 1/2/4, always 1 channel (gray or palette): regroup bits
+    bits = np.unpackbits(recon, axis=1)
+    vals = bits[:, : (bits.shape[1] // depth) * depth].reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (vals * weights).sum(axis=2).astype(np.uint8)[:, :w]
+    if not raw_index:
+        samples = (
+            samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+    return samples.reshape(h, w, 1)
+
+
+def _composite_white(color: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Integer-exact source-over onto a white background."""
+    c = color.astype(np.uint32)
+    a = alpha.astype(np.uint32)
+    return ((c * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array, shape (h, w) for grayscale output
+    (color types 0 and 4) or (h, w, 3) for color (types 2, 3, 6).
+
+    Decodes the full static spec — see module docstring. Malformed
+    payloads (bad CRC, truncated chunks, illegal depth/type combos,
+    out-of-range palette indices, IDAT size mismatch) raise ValueError
+    so a bad blob in a media batch surfaces as a per-item codec error,
+    not a worker crash."""
+    if not is_png(payload):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            # a corrupt payload in a media batch must surface as a codec
+            # ValueError, not a struct.error from a short CRC slice
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        body = payload[pos + 8 : pos + 8 + length]
+        expect = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != expect:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            if length % 3 or not length:
+                raise ValueError("PNG PLTE length not a positive multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if bit_depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(
+            f"bad PNG bit depth {bit_depth} for color type {color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG (color type 3) missing PLTE chunk")
+    ch = _CHANNELS[color_type]
+    bits_pp = bit_depth * ch
+    bpp = max(1, bits_pp // 8)
+    raw = zlib.decompress(bytes(idat))
+
+    def sub_image(w: int, h: int, offset: int) -> tuple[np.ndarray, int]:
+        stride = (w * bits_pp + 7) // 8
+        end = offset + (stride + 1) * h
+        if end > len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * h,
+                            offset=offset).reshape(h, stride + 1)
+        recon = _reconstruct(arr, stride, bpp)
+        return _samples8(recon, w, bit_depth, ch, color_type == 3), end
+
+    if interlace == 0:
+        samples, end = sub_image(width, height, 0)
+        if end != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    else:
+        # Adam7: seven independently filtered sub-images, scattered back
+        # onto the full sample grid; empty passes are wholly absent
+        samples = np.zeros((height, width, ch), dtype=np.uint8)
+        offset = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (width - xs + xstep - 1) // xstep
+            ph = (height - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, offset = sub_image(pw, ph, offset)
+            samples[ys::ystep, xs::xstep] = sub
+        if offset != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+
+    if color_type == 0:
+        return np.ascontiguousarray(samples[:, :, 0])
+    if color_type == 2:
+        return samples
+    if color_type == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if color_type == 4:
+        return _composite_white(samples[:, :, 0], samples[:, :, 1])
+    return _composite_white(samples[:, :, :3], samples[:, :, 3:4])

@@ -88,40 +88,149 @@ def test_crc_corruption_raises():
         decode_png(bytes(p))
 
 
-def _png_hdr(w, h, depth, color_type, interlace, raw: bytes) -> bytes:
-    return (
-        PNG_SIGNATURE
-        + _chunk(
-            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
-        )
-        + _chunk(b"IDAT", zlib.compress(raw))
-        + _chunk(b"IEND", b"")
+def _png_hdr(
+    w, h, depth, color_type, interlace, raw: bytes, plte: bytes | None = None
+) -> bytes:
+    out = PNG_SIGNATURE + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
 
 
-def test_palette_png_rejected_with_typed_error():
-    b = _png_hdr(4, 4, 8, 3, 0, bytes(4 * 5))
-    with pytest.raises(ValueError, match="palette-indexed color"):
-        decode_png(b)
+# -- independent test-side encoders (bit packing / Adam7 interlacing
+# -- implemented from the spec text, NOT by calling the codec) --------
+
+_ADAM7_GRID = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
-def test_16bit_png_rejected_with_typed_error():
-    b = _png_hdr(4, 4, 16, 0, 0, bytes(4 * 9))
-    with pytest.raises(ValueError, match="bit depth 16"):
-        decode_png(b)
+def _pack_row(row: np.ndarray, depth: int) -> bytes:
+    """(pw, ch) sample row -> packed scanline bytes."""
+    if depth == 8:
+        return row.astype(np.uint8).tobytes()
+    if depth == 16:
+        return row.astype(">u2").tobytes()
+    bits = []
+    for v in row[:, 0]:
+        bits.extend(int(b) for b in format(int(v), f"0{depth}b"))
+    while len(bits) % 8:
+        bits.append(0)
+    return np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
 
 
-def test_alpha_png_rejected_with_typed_error():
-    for ct in (4, 6):
-        b = _png_hdr(4, 4, 8, ct, 0, bytes(4 * 5))
-        with pytest.raises(ValueError, match="alpha channel"):
-            decode_png(b)
+def _raw_stream(samples: np.ndarray, depth: int, interlace: int) -> bytes:
+    """Filter-0 raw stream for an (h, w, ch) sample array, optionally
+    Adam7-interlaced (empty passes wholly absent)."""
+    if interlace == 0:
+        return b"".join(b"\x00" + _pack_row(r, depth) for r in samples)
+    out = bytearray()
+    for xs, ys, xstep, ystep in _ADAM7_GRID:
+        sub = samples[ys::ystep, xs::xstep]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in sub:
+            out += b"\x00" + _pack_row(r, depth)
+    return bytes(out)
 
 
-def test_adam7_png_rejected_with_typed_error():
-    b = _png_hdr(4, 4, 8, 0, 1, bytes(4 * 5))
-    with pytest.raises(ValueError, match="Adam7 interlacing"):
-        decode_png(b)
+def test_palette_decode():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 3])
+    out = decode_png(_png_hdr(2, 2, 8, 3, 0, raw, plte=plte))
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[1, 1].tolist() == [7, 8, 9]
+    # 2-bit indices pack 4 per byte, high bits first: [0,1,2,3] = 0x1B
+    raw2 = b"\x00" + bytes([0b00011011])
+    out2 = decode_png(_png_hdr(4, 1, 2, 3, 0, raw2, plte=plte))
+    assert out2[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]]
+    # index beyond the palette is a typed codec error
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_hdr(2, 1, 8, 3, 0, b"\x00" + bytes([0, 200]), plte=plte))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(_png_hdr(2, 1, 8, 3, 0, b"\x00" + bytes([0, 1])))
+
+
+def test_16bit_decode_takes_high_byte():
+    img = np.array([[0x1234, 0xFF01], [0x0080, 0xABCD]], dtype=np.uint16)
+    raw = _raw_stream(img[..., None], 16, 0)
+    out = decode_png(_png_hdr(2, 2, 16, 0, 0, raw))
+    assert out.tolist() == [[0x12, 0xFF], [0x00, 0xAB]]
+    # 16-bit RGB, and the Sub filter at its 6-byte step: cur[i] =
+    # line[i] + cur[i-6], computed on raw bytes before sample split
+    rgb = np.array([[[0x0100, 0x8000, 0xFF00], [0x0200, 0x8100, 0x0000]]],
+                   dtype=np.uint16)
+    raw = _raw_stream(rgb, 16, 0)
+    out = decode_png(_png_hdr(2, 1, 16, 2, 0, raw))
+    assert out.tolist() == [[[0x01, 0x80, 0xFF], [0x02, 0x81, 0x00]]]
+    first = rgb[0, 0].astype(">u2").tobytes()
+    deltas = bytes([1, 7, 2, 0, 3, 255])  # byte-wise +delta at step 6
+    out = decode_png(_png_hdr(2, 1, 16, 2, 0, b"\x01" + first + deltas))
+    # high bytes of px2: [01+1, 80+2, FF+3 mod 256] = [0x02, 0x82, 0x02]
+    assert out.tolist() == [[[0x01, 0x80, 0xFF], [0x02, 0x82, 0x02]]]
+
+
+def test_sub8bit_gray_rescales():
+    # depth 1: bits [1,0,1,1,0...] -> 255/0; depth 4: v * 17
+    raw = b"\x00" + bytes([0b10110000])
+    out = decode_png(_png_hdr(4, 1, 1, 0, 0, raw))
+    assert out.tolist() == [[255, 0, 255, 255]]
+    raw = b"\x00" + bytes([0x5F, 0x30])
+    out = decode_png(_png_hdr(3, 1, 4, 0, 0, raw))
+    assert out.tolist() == [[5 * 17, 15 * 17, 3 * 17]]
+    # depth 2: v * 85
+    raw = b"\x00" + bytes([0b00011011])
+    out = decode_png(_png_hdr(4, 1, 2, 0, 0, raw))
+    assert out.tolist() == [[0, 85, 170, 255]]
+
+
+def test_alpha_composites_over_white():
+    # gray+alpha: a=255 keeps c, a=0 goes white, a=128 blends
+    # (100*128 + 255*127 + 127) // 255 = 177 (integer-exact contract)
+    raw = b"\x00" + bytes([100, 255, 100, 0, 100, 128])
+    out = decode_png(_png_hdr(3, 1, 8, 4, 0, raw))
+    assert out.tolist() == [[100, 255, 177]]
+    # RGBA
+    raw = b"\x00" + bytes([10, 20, 30, 255, 10, 20, 30, 0])
+    out = decode_png(_png_hdr(2, 1, 8, 6, 0, raw))
+    assert out.tolist() == [[[10, 20, 30], [255, 255, 255]]]
+
+
+def test_adam7_round_trips_every_color_type():
+    rng = np.random.default_rng(11)
+    # odd sizes exercise the empty/ragged pass geometry
+    for h, w in [(1, 1), (3, 5), (8, 8), (9, 10), (13, 3)]:
+        gray = rng.integers(0, 256, (h, w, 1), dtype=np.uint16)
+        out = decode_png(_png_hdr(w, h, 8, 0, 1, _raw_stream(gray, 8, 1)))
+        assert out.tolist() == gray[..., 0].tolist(), (h, w)
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint16)
+        out = decode_png(_png_hdr(w, h, 8, 2, 1, _raw_stream(rgb, 8, 1)))
+        assert out.tolist() == rgb.tolist(), (h, w)
+    # 16-bit gray interlaced: high bytes survive
+    g16 = rng.integers(0, 1 << 16, (9, 10, 1), dtype=np.uint16)
+    out = decode_png(_png_hdr(10, 9, 16, 0, 1, _raw_stream(g16, 16, 1)))
+    assert out.tolist() == (g16[..., 0] >> 8).tolist()
+    # 4-bit palette interlaced
+    plte = bytes(v for i in range(16) for v in (i * 16, 255 - i * 16, i))
+    idx = rng.integers(0, 16, (5, 7, 1), dtype=np.uint16)
+    out = decode_png(_png_hdr(7, 5, 4, 3, 1, _raw_stream(idx, 4, 1), plte=plte))
+    expect = np.frombuffer(plte, np.uint8).reshape(16, 3)[idx[..., 0]]
+    assert out.tolist() == expect.tolist()
+
+
+def test_illegal_header_combos_rejected():
+    with pytest.raises(ValueError, match="bit depth 16 for color type 3"):
+        decode_png(_png_hdr(2, 2, 16, 3, 0, bytes(10)))
+    with pytest.raises(ValueError, match="bit depth 2 for color type 2"):
+        decode_png(_png_hdr(2, 2, 2, 2, 0, bytes(10)))
+    with pytest.raises(ValueError, match="color type 5"):
+        decode_png(_png_hdr(2, 2, 8, 5, 0, bytes(10)))
+    with pytest.raises(ValueError, match="interlace method 2"):
+        decode_png(_png_hdr(2, 2, 8, 0, 2, bytes(10)))
 
 
 def test_media_metadata_on_real_png(spark):

@@ -69,6 +69,31 @@ def encode_png_rgb(img: np.ndarray) -> bytes:
     )
 
 
+def encode_png_adam7(arr: np.ndarray) -> bytes:
+    """8-bit grayscale (h, w) or RGB (h, w, 3), filter 0 on every
+    scanline, Adam7-interlaced (interlace method 1; empty passes are
+    wholly absent per spec §8.2)."""
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_png_adam7 wants a uint8 (h, w) or (h, w, 3) array")
+    color_type = 0 if arr.ndim == 2 else 2
+    h, w = arr.shape[:2]
+    a3 = arr.reshape(h, w, -1)
+    raw = bytearray()
+    for xs, ys, xstep, ystep in _ADAM7:
+        sub = a3[ys::ystep, xs::xstep]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def is_png(payload: bytes) -> bool:
     return payload[:8] == PNG_SIGNATURE
 

@@ -878,6 +878,56 @@ FROM read_parquet('{_MATERIALIZE_DIR}/extract_oracle.parquet')
 """
 
 
+def q_wire_formats(spark: SparkSession, sf: str) -> DataFrame:
+    """Wire-format invariance: the full extraction pipeline over a
+    corpus whose every media span is wrapped in the media://i7/ family
+    (the same scan delivered as an Adam7-interlaced PNG instead of its
+    native container), vs the independent oracle over the same wrapped
+    corpus. Hash-verifies that the interlaced-PNG decode path
+    (functions/png.py) feeds the golden path byte-identically — the
+    reference accepts these subformats through cv2.imread silently
+    (OCR/src/detect.py:122-128); this engine proves it."""
+    import pyarrow as _pa
+
+    from .. import oracle, synth
+    from ..schema import DOCS
+    from .pipeline import extract
+
+    docs_py = synth.synth_docs_pylist(160, seed=77, skew_frac=0.02)
+    for d in docs_py:
+        for s in d["spans"]:
+            if s["media_ref"]:
+                s["media_ref"] = "media://i7/" + s["media_ref"][len("media://"):]
+    golden = oracle.extract_corpus(docs_py)
+    rows = [
+        {"doc_id": d, "order": t[3], "kind": t[0], "text": t[1], "media_ref": t[2]}
+        for d, seq in golden.items()
+        for t in seq
+    ]
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("order", _pa.int32()), ("kind", _pa.string()),
+         ("text", _pa.string()), ("media_ref", _pa.string())]
+    )
+    _write_oracle_parquet(rows, schema, f"{_MATERIALIZE_DIR}/i7_oracle.parquet")
+
+    docs = spark.createDataFrame(docs_py, schema=DOCS)
+    return extract(docs).select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.order").alias("order"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+SQL_WIRE_FORMATS = f"""
+SELECT doc_id, "order", kind, text, media_ref
+FROM read_parquet('{_MATERIALIZE_DIR}/i7_oracle.parquet')
+"""
+
+
 def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """W1-W3 greedy dedup of media detections vs the oracle's
     independent greedy loop (value-hash verified via the materialized
@@ -1677,6 +1727,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
     "extract_pipeline": (q_extract_pipeline, SQL_EXTRACT_PIPELINE),
+    "wire_formats": (q_wire_formats, SQL_WIRE_FORMATS),
     "greedy_dedup": (q_greedy_dedup, SQL_GREEDY_DEDUP),
     "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
     "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),

@@ -105,7 +105,19 @@ def media_payload(media_ref: str) -> bytes:
       media://hires/  over-RESIZE_CAP scan whose glyphs are stamped on
                       the decimation-surviving pixel lattice (exercises
                       the P1 resize cap end to end, then tiling)
+      media://i7/X    the SAME scan as media://X (any family above),
+                      delivered as an Adam7-interlaced PNG instead of
+                      its native container — the wire-format invariance
+                      family: extraction output must not depend on the
+                      payload encoding
     """
+    if media_ref.startswith("media://i7/"):
+        from .functions.png import encode_png_adam7
+
+        gray, img = decode_payload_any(
+            media_payload("media://" + media_ref[len("media://i7/") :])
+        )
+        return encode_png_adam7(img if img is not None else gray)
     if media_ref.startswith("media://rgb/"):
         return _rgb_payload(media_ref)
     rng = random.Random("payload:" + media_ref)

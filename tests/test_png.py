@@ -419,3 +419,53 @@ def test_wavefront_beats_per_pixel_decode():
     t_slow = time.perf_counter() - t0
     assert np.array_equal(fast, slow)
     assert t_slow / t_fast >= 5, (t_slow, t_fast)
+
+
+def test_i7_family_decodes_identically_to_base():
+    """media://i7/X is the same scan as media://X in a different wire
+    format (Adam7 PNG): the shared fixture-decode layer must see
+    identical arrays for every family it wraps."""
+    from cadastral_map_ocr_system_spark.synth import decode_payload_any
+
+    for suffix in [
+        "doc-000000000007/0", "rot/x3", "lowc/a", "neg/z",
+        "rgb/b2", "big/m1", "hires/q",
+    ]:
+        g0, i0 = decode_payload_any(media_payload("media://" + suffix))
+        g1, i1 = decode_payload_any(media_payload("media://i7/" + suffix))
+        assert (g0 == g1).all(), suffix
+        assert (i0 is None) == (i1 is None), suffix
+        if i0 is not None:
+            assert (i0 == i1).all(), suffix
+
+
+def test_adam7_wire_format_on_the_golden_path(spark):
+    """Full extract() over a corpus whose every media span is wrapped
+    in the Adam7 wire format, compared against the independent oracle:
+    the interlaced decode path runs inside real Spark workers on the
+    golden invariant, not just in codec units."""
+    from cadastral_map_ocr_system_spark import oracle, synth
+    from cadastral_map_ocr_system_spark.plans.pipeline import extract
+    from cadastral_map_ocr_system_spark.schema import DOCS
+
+    docs = synth.synth_docs_pylist(40, seed=23)
+    n_wrapped = 0
+    for d in docs:
+        for s in d["spans"]:
+            if s["media_ref"]:
+                s["media_ref"] = "media://i7/" + s["media_ref"][len("media://"):]
+                n_wrapped += 1
+    assert n_wrapped >= 20, "fixture must actually exercise media spans"
+    golden = oracle.extract_corpus(docs)
+    out = extract(spark.createDataFrame(docs, schema=DOCS)).collect()
+    got = {
+        row["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
+        ]
+        for row in out
+    }
+    assert set(got) == set(golden)
+    mismatches = {d: (got[d], golden[d]) for d in golden if got[d] != golden[d]}
+    assert not mismatches, f"{len(mismatches)} docs diverge; first: " + str(
+        next(iter(mismatches.items()))
+    )

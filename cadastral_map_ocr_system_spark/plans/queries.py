@@ -1424,6 +1424,61 @@ FROM read_parquet('{_MATERIALIZE_DIR}/stream_oracle.parquet')
 """
 
 
+def q_stream_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 Structured Streaming: event-time tumbling windows + a
+    watermark (streaming/stream.stream_windowed_counts), drained as
+    three availableNow runs over ONE checkpoint to exercise the full
+    late-data life cycle:
+
+      drain 1: all real events arrive — every window is held in state
+               (watermark still at epoch; append mode emits nothing)
+      drain 2: a far-future sentinel event arrives — the restored
+               watermark (real max ts - delay) finalizes the early
+               windows
+      drain 3: a second sentinel at the same far-future ts — the
+               watermark, now past every real window end, flushes the
+               rest; the sentinel's own window stays held (correctly:
+               its end is inside the watermark delay), so the sink
+               holds EXACTLY the real windows, each emitted once
+
+    The final sink contents are invariant to whether Spark inserts
+    no-data micro-batches between drains, and verify against a plain
+    batch GROUP BY on DuckDB — the streaming path must equal the batch
+    answer on a bounded prefix."""
+    from ..streaming.stream import stream_windowed_counts
+
+    in_path = f"{_MATERIALIZE_DIR}/streamwin_in"
+    out_path = f"{_MATERIALIZE_DIR}/streamwin_out"
+    ck_path = f"{_MATERIALIZE_DIR}/streamwin_ck"
+    for d in (in_path, out_path, ck_path):
+        _shutil.rmtree(d, ignore_errors=True)
+    ev = load(spark, sf, "events")
+    ev.write.parquet(in_path)
+    sentinel = ev.select(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    for _drain in range(3):
+        q = stream_windowed_counts(spark, in_path, out_path, ck_path)
+        q.awaitTermination()
+        if _drain < 2:
+            sentinel.write.mode("append").parquet(in_path)
+    return spark.read.parquet(out_path)
+
+
+SQL_STREAM_WINDOWS = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+       count(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- sinks (K1-K3)
 _SINK_N_DOCS = 120
 
@@ -1735,6 +1790,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
     "stream_extract": (q_stream_extract, SQL_STREAM_EXTRACT),
+    "stream_windows": (q_stream_windows, SQL_STREAM_WINDOWS),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "json_sink": (q_json_sink, SQL_JSON_SINK),
     "stats_block": (q_stats_block, SQL_STATS_BLOCK),

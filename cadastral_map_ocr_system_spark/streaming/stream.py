@@ -64,3 +64,61 @@ def stream_extract(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    stream_checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Event-time tumbling-window aggregation with a watermark over a
+    streamed events directory: count + exact decimal sum per
+    (window, event_type), append-mode parquet sink.
+
+    Append mode emits each window row EXACTLY ONCE — when the watermark
+    (max event time seen minus the delay) passes the window end — and
+    evicts its state, so unbounded event time runs in bounded state at
+    any scale; events arriving later than the delay are dropped, which
+    is the documented late-data contract. The watermark itself lives in
+    the streaming checkpoint, so emission semantics survive query
+    restarts (q_stream_windows drives this across three availableNow
+    drains of one checkpoint).
+
+    The sum runs in DECIMAL before the final cast: a float sum over a
+    shuffled 100 TB stream is not reproducible across partitionings;
+    decimal is exact and order-independent.
+    """
+    events = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_path)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", output_path)
+        .start()
+    )

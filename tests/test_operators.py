@@ -299,3 +299,54 @@ def test_ivf_topk_exact_on_separated_clusters(spark):
         for r in brute_force_topk(emb, n_queries=6, k=4).collect()
     }
     assert got == want
+
+
+def test_stream_windows_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: a row older than the watermark at its
+    arrival batch is DROPPED (the documented late-data contract), every
+    on-time window is emitted exactly once, and the sentinel's own
+    unfinalized window never reaches the sink."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from cadastral_map_ocr_system_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        stream_windowed_counts,
+    )
+
+    in_p, out_p, ck_p = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, hours, etype="click", value=1.5):
+        return (eid, t0 + dt.timedelta(hours=hours), 7, etype, value, None)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema=EVENTS_STREAM_SCHEMA).write.mode(
+            mode
+        ).parquet(in_p)
+
+    def drain():
+        q = stream_windowed_counts(spark, in_p, out_p, ck_p)
+        q.awaitTermination()
+
+    # drain 1: one event in each of hours 0/1/2; nothing finalized yet
+    write([ev(1, 0.5), ev(2, 1.5), ev(3, 2.5)], "overwrite")
+    drain()
+    # drain 2: a LATE duplicate for hour 0 (watermark is now 2:30-0:30
+    # = 2:00 > its ts -> dropped) + a far-future sentinel
+    write([ev(4, 0.25), ev(5, 50.0, etype="__sentinel__")], "append")
+    drain()
+    # drain 3: second sentinel pushes the watermark past every real
+    # window end, flushing the rest
+    write([ev(6, 50.0, etype="__sentinel__")], "append")
+    drain()
+
+    got = sorted(
+        (r["win_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_p).collect()
+    )
+    assert got == [
+        (t0 + dt.timedelta(hours=h), "click", 1, 1.5) for h in (0, 1, 2)
+    ], got

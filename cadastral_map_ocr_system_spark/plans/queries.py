@@ -1479,6 +1479,63 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 custom stateful streaming operator
+    (applyInPandasWithState): per-user sessionization with event-time
+    timeouts, driven through the same three-drain late-data life cycle
+    as q_stream_windows (hold open sessions -> sentinel advances the
+    watermark -> timeouts flush them; the sentinel user's own session
+    stays open and never reaches the sink). The emitted sessions must
+    equal a batch window-function sessionization on DuckDB — the
+    streaming state machine and the SQL gap rule are independent
+    implementations of the same 30-minute contract."""
+    from ..streaming.stream import stream_sessionize
+
+    in_path = f"{_MATERIALIZE_DIR}/streamsess_in"
+    out_path = f"{_MATERIALIZE_DIR}/streamsess_out"
+    ck_path = f"{_MATERIALIZE_DIR}/streamsess_ck"
+    for d in (in_path, out_path, ck_path):
+        _shutil.rmtree(d, ignore_errors=True)
+    ev = load(spark, sf, "events")
+    ev.write.parquet(in_path)
+    sentinel = ev.select(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    for _drain in range(3):
+        q = stream_sessionize(spark, in_path, out_path, ck_path)
+        q.awaitTermination()
+        if _drain < 2:
+            sentinel.write.mode("append").parquet(in_path)
+    return spark.read.parquet(out_path)
+
+
+SQL_STREAM_SESSIONS = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+o AS (
+  SELECT user_id, ms,
+         CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                   > 1800000
+              OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ------------------------------------------------------------- sinks (K1-K3)
 _SINK_N_DOCS = 120
 
@@ -1791,6 +1848,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
     "stream_extract": (q_stream_extract, SQL_STREAM_EXTRACT),
     "stream_windows": (q_stream_windows, SQL_STREAM_WINDOWS),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "json_sink": (q_json_sink, SQL_JSON_SINK),
     "stats_block": (q_stats_block, SQL_STATS_BLOCK),

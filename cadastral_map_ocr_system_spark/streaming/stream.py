@@ -122,3 +122,107 @@ def stream_windowed_counts(
         .option("path", output_path)
         .start()
     )
+
+
+SESSION_GAP_MS = 1_800_000  # same 30-min rule as the batch sessionize
+
+
+def _sessionize_group(key, pdfs, state):
+    """Per-user session state machine for applyInPandasWithState.
+
+    State = the one OPEN session (start_ms, last_ms, n_events). Events
+    arriving in a batch merge into it / close it by the gap rule;
+    every CLOSED session is emitted immediately (append mode). The open
+    session registers an event-time timeout at last_ms + gap: when the
+    watermark passes it, the session is final by construction — no
+    on-time event can extend it — so it is emitted and state removed.
+    Bounded state per user (3 longs), regardless of stream length.
+    """
+    import numpy as np
+    import pandas as pd
+
+    user_id = key[0]
+
+    def frame(rows):
+        return pd.DataFrame(
+            rows, columns=["user_id", "start_ms", "end_ms", "n_events"]
+        )
+
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield frame([(user_id, start_ms, last_ms, n)])
+        return
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    ms = np.sort(pdf["ts"].astype("int64").to_numpy() // 1_000_000)
+    # split into gap-delimited runs: starts[i]..ends[i] index segments
+    breaks = np.nonzero(np.diff(ms) > SESSION_GAP_MS)[0] + 1
+    starts = np.concatenate(([0], breaks))
+    ends = np.concatenate((breaks, [len(ms)]))
+
+    closed = []
+    if state.exists:
+        start_ms, last_ms, n = state.get
+        if ms[0] - last_ms <= SESSION_GAP_MS:
+            # first run continues the stored open session
+            last_ms = int(ms[ends[0] - 1])
+            n += int(ends[0] - starts[0])
+            if len(starts) == 1:
+                state.update((start_ms, last_ms, n))
+                state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
+                yield frame([])
+                return
+            closed.append((user_id, start_ms, last_ms, n))
+            starts, ends = starts[1:], ends[1:]
+        else:
+            closed.append((user_id, start_ms, last_ms, n))
+    # middle runs are closed by the run that follows them
+    for i in range(len(starts) - 1):
+        closed.append(
+            (user_id, int(ms[starts[i]]), int(ms[ends[i] - 1]),
+             int(ends[i] - starts[i]))
+        )
+    # trailing run becomes (or replaces) the open session
+    s, e = starts[-1], ends[-1]
+    state.update((int(ms[s]), int(ms[e - 1]), int(e - s)))
+    state.setTimeoutTimestamp(int(ms[e - 1]) + SESSION_GAP_MS)
+    yield frame(closed)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    stream_checkpoint: str,
+    watermark: str = "30 minutes",
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with the batch gap rule, event-time
+    timeouts closing idle sessions as the watermark advances. The
+    grouped state is the only shuffle; emitted sessions append to a
+    parquet sink exactly once."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_path)
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=(
+                "user_id bigint, start_ms bigint, end_ms bigint, n_events bigint"
+            ),
+            stateStructType="start_ms bigint, last_ms bigint, n_events bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", output_path)
+        .start()
+    )

@@ -350,3 +350,58 @@ def test_stream_windows_watermark_drops_late_events(spark, tmp_path):
     assert got == [
         (t0 + dt.timedelta(hours=h), "click", 1, 1.5) for h in (0, 1, 2)
     ], got
+
+
+def test_stream_sessionize_state_machine(spark, tmp_path):
+    """applyInPandasWithState sessionization: a later event CONTINUES
+    an open session across drains (not a new session), an over-gap
+    event closes it, and the event-time timeout flushes the trailing
+    open session — each session emitted exactly once."""
+    import datetime as dt
+
+    from cadastral_map_ocr_system_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        stream_sessionize,
+    )
+
+    in_p, out_p, ck_p = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, minutes, uid=7):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", 1.0, None)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema=EVENTS_STREAM_SCHEMA).write.mode(
+            mode
+        ).parquet(in_p)
+
+    def drain():
+        q = stream_sessionize(spark, in_p, out_p, ck_p)
+        q.awaitTermination()
+
+    # drain 1: minutes 0,10 then a 40-min gap -> session A closes
+    # in-batch; minute 50 stays open in state
+    write([ev(1, 0), ev(2, 10), ev(3, 50)], "overwrite")
+    drain()
+    # drain 2: minute 70 continues the open session (gap 20 <= 30);
+    # sentinel user far in the future advances the watermark
+    write([ev(4, 70), ev(5, 3000, uid=-1)], "append")
+    drain()
+    # drain 3: second sentinel -> timeout fires for user 7's open
+    # session; the sentinel user's own session stays open (never sinks)
+    write([ev(6, 3000, uid=-1)], "append")
+    drain()
+
+    def ms(minutes):
+        return int((t0 + dt.timedelta(minutes=minutes)).timestamp() * 1000)
+
+    got = sorted(
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in spark.read.parquet(out_p).collect()
+    )
+    assert got == [
+        (7, ms(0), ms(10), 2),     # closed by the in-batch gap
+        (7, ms(50), ms(70), 2),    # extended across drains, then timed out
+    ], got

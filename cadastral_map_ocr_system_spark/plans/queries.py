@@ -928,6 +928,53 @@ FROM read_parquet('{_MATERIALIZE_DIR}/i7_oracle.parquet')
 """
 
 
+def q_corpus_source(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S2 pluggable corpus scan via the Spark 4 Python DataSource
+    API (sources/corpus_source.py): the registered `mediacorpus`
+    format plans [start, end) doc-id slices and synthesizes each
+    slice executor-side; its flattened output must match the
+    driver-side generator row for row (the source layer must be a pure
+    re-partitioning of the corpus function, reference batch walk at
+    OCR/src/batch.py)."""
+    import pyarrow as _pa
+
+    from .. import synth
+    from ..sources.corpus_source import MediaCorpusDataSource
+
+    rows = [
+        {"doc_id": d["doc_id"], "offset": s["offset"], "kind": s["kind"],
+         "text": s["text"], "media_ref": s["media_ref"]}
+        for d in synth.synth_docs_pylist(200, seed=5)
+        for s in d["spans"]
+    ]
+    schema = _pa.schema(
+        [("doc_id", _pa.string()), ("offset", _pa.int32()),
+         ("kind", _pa.string()), ("text", _pa.string()),
+         ("media_ref", _pa.string())]
+    )
+    _write_oracle_parquet(rows, schema, f"{_MATERIALIZE_DIR}/source_oracle.parquet")
+
+    spark.dataSource.register(MediaCorpusDataSource)
+    docs = (
+        spark.read.format("mediacorpus")
+        .option("n_docs", 200).option("seed", 5).option("partitions", 8)
+        .load()
+    )
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+SQL_CORPUS_SOURCE = f"""
+SELECT doc_id, "offset", kind, text, media_ref
+FROM read_parquet('{_MATERIALIZE_DIR}/source_oracle.parquet')
+"""
+
+
 def q_greedy_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """W1-W3 greedy dedup of media detections vs the oracle's
     independent greedy loop (value-hash verified via the materialized
@@ -1840,6 +1887,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMB_NEAR_DUPS),
     "extract_pipeline": (q_extract_pipeline, SQL_EXTRACT_PIPELINE),
     "wire_formats": (q_wire_formats, SQL_WIRE_FORMATS),
+    "corpus_source": (q_corpus_source, SQL_CORPUS_SOURCE),
     "greedy_dedup": (q_greedy_dedup, SQL_GREEDY_DEDUP),
     "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
     "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),

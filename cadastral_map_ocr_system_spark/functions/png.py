@@ -9,8 +9,10 @@ container), covering the full static-image spec (ISO/IEC 15948):
           16-bit samples take their high byte, sub-8-bit grayscale is
           rescaled to [0, 255], palette indices map through PLTE, and
           alpha composites over a white background (integer-exact
-          (c*a + 255*(255-a) + 127) // 255). Ancillary chunks (tRNS,
-          gAMA, ...) are CRC-checked and skipped.
+          (c*a + 255*(255-a) + 127) // 255). tRNS transparency is
+          honored (exact stored-precision sample match for gray/RGB,
+          per-entry alphas for palette, composited over white); other
+          ancillary chunks (gAMA, ...) are CRC-checked and skipped.
   encode: 8-bit grayscale / RGB, filter 0, non-interlaced
 
 This replaces the image-codec stub in operators/multimodal.py for PNG
@@ -304,6 +306,25 @@ def _composite_white(color: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     return ((c * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
 
 
+def _trns_mask(
+    recon: np.ndarray, w: int, depth: int, ch: int, tvals: tuple
+) -> np.ndarray:
+    """(h, w) bool mask of pixels equal to the tRNS transparent color,
+    compared at the image's STORED precision (spec §11.3.2) — a 16-bit
+    sample matches only exactly, not by its high byte."""
+    h = recon.shape[0]
+    if depth == 16:
+        hi = recon[:, 0::2].astype(np.uint16)
+        lo = recon[:, 1::2].astype(np.uint16)
+        s = ((hi << 8) | lo)[:, : w * ch].reshape(h, w, ch)
+    elif depth == 8:
+        s = recon[:, : w * ch].reshape(h, w, ch).astype(np.uint16)
+    else:  # sub-8-bit gray: compare the raw (unscaled) sample
+        s = _samples8(recon, w, depth, ch, True).astype(np.uint16)
+    t = np.array(tvals, dtype=np.uint16).reshape(1, 1, ch)
+    return (s == t).all(axis=2)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array, shape (h, w) for grayscale output
     (color types 0 and 4) or (h, w, 3) for color (types 2, 3, 6).
@@ -320,6 +341,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     bit_depth = color_type = interlace = None
     idat = bytearray()
     plte = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -340,6 +362,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             if length % 3 or not length:
                 raise ValueError("PNG PLTE length not a positive multiple of 3")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -361,7 +385,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(bytes(idat))
 
-    def sub_image(w: int, h: int, offset: int) -> tuple[np.ndarray, int]:
+    # tRNS transparency (spec §11.3.2): a single transparent sample
+    # value for gray/RGB, per-entry alphas for palette; composited over
+    # white like the alpha color types. Not allowed alongside a real
+    # alpha channel.
+    tvals = None
+    if trns is not None:
+        if color_type in (4, 6):
+            raise ValueError(
+                f"tRNS chunk not allowed with alpha color type {color_type}"
+            )
+        if color_type == 0:
+            if len(trns) != 2:
+                raise ValueError("bad tRNS length for grayscale (want 2 bytes)")
+            tvals = struct.unpack(">H", trns)
+        elif color_type == 2:
+            if len(trns) != 6:
+                raise ValueError("bad tRNS length for RGB (want 6 bytes)")
+            tvals = struct.unpack(">HHH", trns)
+        elif len(trns) > len(plte):
+            raise ValueError("tRNS longer than the palette")
+
+    def sub_image(w: int, h: int, offset: int):
         stride = (w * bits_pp + 7) // 8
         end = offset + (stride + 1) * h
         if end > len(raw):
@@ -369,36 +414,51 @@ def decode_png(payload: bytes) -> np.ndarray:
         arr = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * h,
                             offset=offset).reshape(h, stride + 1)
         recon = _reconstruct(arr, stride, bpp)
-        return _samples8(recon, w, bit_depth, ch, color_type == 3), end
+        sub = _samples8(recon, w, bit_depth, ch, color_type == 3)
+        m = _trns_mask(recon, w, bit_depth, ch, tvals) if tvals else None
+        return sub, m, end
 
     if interlace == 0:
-        samples, end = sub_image(width, height, 0)
+        samples, mask, end = sub_image(width, height, 0)
         if end != len(raw):
             raise ValueError("PNG IDAT length mismatch")
     else:
         # Adam7: seven independently filtered sub-images, scattered back
         # onto the full sample grid; empty passes are wholly absent
         samples = np.zeros((height, width, ch), dtype=np.uint8)
+        mask = np.zeros((height, width), dtype=bool) if tvals else None
         offset = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (width - xs + xstep - 1) // xstep
             ph = (height - ys + ystep - 1) // ystep
             if pw <= 0 or ph <= 0:
                 continue
-            sub, offset = sub_image(pw, ph, offset)
+            sub, m, offset = sub_image(pw, ph, offset)
             samples[ys::ystep, xs::xstep] = sub
+            if m is not None:
+                mask[ys::ystep, xs::xstep] = m
         if offset != len(raw):
             raise ValueError("PNG IDAT length mismatch")
 
     if color_type == 0:
-        return np.ascontiguousarray(samples[:, :, 0])
+        gray = np.ascontiguousarray(samples[:, :, 0])
+        if mask is not None:
+            gray = np.where(mask, np.uint8(255), gray)
+        return gray
     if color_type == 2:
+        if mask is not None:
+            samples = np.where(mask[:, :, None], np.uint8(255), samples)
         return samples
     if color_type == 3:
         idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG palette index out of range")
-        return plte[idx]
+        rgb = plte[idx]
+        if trns is not None:
+            alphas = np.full(len(plte), 255, dtype=np.uint8)
+            alphas[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return _composite_white(rgb, alphas[idx][:, :, None])
+        return rgb
     if color_type == 4:
         return _composite_white(samples[:, :, 0], samples[:, :, 1])
     return _composite_white(samples[:, :, :3], samples[:, :, 3:4])

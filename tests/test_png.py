@@ -469,3 +469,58 @@ def test_adam7_wire_format_on_the_golden_path(spark):
     assert not mismatches, f"{len(mismatches)} docs diverge; first: " + str(
         next(iter(mismatches.items()))
     )
+
+
+def _png_trns(
+    w, h, depth, color_type, raw: bytes, trns: bytes, plte: bytes | None = None
+) -> bytes:
+    out = PNG_SIGNATURE + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_trns_gray_and_rgb():
+    # gray 8-bit: value 77 is transparent -> white
+    raw = b"\x00" + bytes([77, 78, 77])
+    out = decode_png(_png_trns(3, 1, 8, 0, raw, struct.pack(">H", 77)))
+    assert out.tolist() == [[255, 78, 255]]
+    # RGB 8-bit: only the full triple matches
+    raw = b"\x00" + bytes([1, 2, 3, 1, 2, 4])
+    out = decode_png(_png_trns(2, 1, 8, 2, raw, struct.pack(">HHH", 1, 2, 3)))
+    assert out.tolist() == [[[255, 255, 255], [1, 2, 4]]]
+
+
+def test_trns_16bit_matches_exact_not_high_byte():
+    # 0x1234 is transparent; 0x1250 shares its high byte and must NOT be
+    img = np.array([[0x1234, 0x1250]], dtype=np.uint16)
+    raw = _raw_stream(img[..., None], 16, 0)
+    out = decode_png(_png_trns(2, 1, 16, 0, raw, struct.pack(">H", 0x1234)))
+    assert out.tolist() == [[255, 0x12]]
+
+
+def test_trns_sub8bit_matches_raw_sample():
+    # depth 2: raw samples [0,1,2,3]; sample value 1 transparent ->
+    # [0, 255(white), 170, 255(scaled 3)]
+    raw = b"\x00" + bytes([0b00011011])
+    out = decode_png(_png_trns(4, 1, 2, 0, raw, struct.pack(">H", 1)))
+    assert out.tolist() == [[0, 255, 170, 255]]
+
+
+def test_trns_palette_alphas_composite():
+    plte = bytes([100, 100, 100, 1, 2, 3])
+    # entry 0 alpha 128 -> (100*128+255*127+127)//255 = 177; entry 1
+    # has no tRNS entry -> opaque
+    raw = b"\x00" + bytes([0, 1])
+    out = decode_png(_png_trns(2, 1, 8, 3, raw, bytes([128]), plte=plte))
+    assert out.tolist() == [[[177, 177, 177], [1, 2, 3]]]
+
+
+def test_trns_rejected_with_alpha_color_type():
+    raw = b"\x00" + bytes([1, 2, 3, 4])
+    b = _png_trns(1, 1, 8, 6, raw, struct.pack(">HHH", 0, 0, 0))
+    with pytest.raises(ValueError, match="not allowed with alpha"):
+        decode_png(b)

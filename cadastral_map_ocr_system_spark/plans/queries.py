@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import NAME_HAS_LETTER_RE, NOISE_RE, NUMBER_RE
-from ..operators import ann, corpus_dedup, textstats
+from ..operators import ann, components, corpus_dedup, textstats
 from ..sources.tables import load
 
 STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
@@ -640,6 +640,75 @@ bits AS (
 SELECT doc_id,
        CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(_B))} AS BIGINT) AS simhash
 FROM bits
+"""
+
+
+# -------------------------------------------- duplicate-cluster resolution
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end duplicate-cluster map: exact-dedup representatives ->
+    LSH-gated Jaccard edges -> alternating-algorithm connected
+    components -> every doc labeled with its cluster's min doc_id. The
+    oracle recomputes the clusters independently via a recursive-CTE
+    transitive closure over its own SQL mirror of the edge pipeline."""
+    return components.dedup_clusters(load(spark, sf, "documents"))
+
+
+# the near-dup edge pipeline (identical to SQL_NGRAM_JACCARD's gate)
+# followed by min-label components via transitive closure — fine at
+# oracle scale, where the pair graph is tiny
+_CC_CTE = r"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*) AS n_common
+  FROM cand
+  JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+near AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.05),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM near
+        UNION SELECT doc_b, doc_a FROM near),
+reach(src, dst) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN sym e ON e.u = r.dst),
+comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src),
+doc_rep AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+         ) AS rep
+  FROM documents),
+clusters AS (
+  SELECT d.doc_id, COALESCE(c.component, d.rep) AS cluster
+  FROM doc_rep d LEFT JOIN comp c ON c.node = d.rep)
+"""
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SH_CTE},
+{_LSH_CAND_CTE},
+{_CC_CTE}
+SELECT doc_id, cluster FROM clusters
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per duplicate cluster: surviving min-doc_id document and
+    cluster size (the keep-first policy, distributed)."""
+    return components.dedup_survivors(load(spark, sf, "documents"))
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_SH_CTE},
+{_LSH_CAND_CTE},
+{_CC_CTE}
+SELECT cluster AS doc_id, COUNT(*) AS n_docs FROM clusters GROUP BY 1
 """
 
 
@@ -1880,6 +1949,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_capped_pairs": (q_lsh_capped_pairs, SQL_LSH_CAPPED_PAIRS),
     "lsh_cap_report": (q_lsh_cap_report, SQL_LSH_CAP_REPORT),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

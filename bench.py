@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "minhash_lsh",
     "simhash",
+    "dedup_clusters",
     "ann_brute_force",
     "ann_lsh",
     "embedding_near_dups",

@@ -1652,6 +1652,43 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 streaming exact dedup on ingest
+    (dropDuplicatesWithinWatermark): the input directory holds TWO full
+    copies of the events table for the first drain (batch-internal
+    dedup), then a third copy of only the last-30-minutes events lands
+    before a second drain of the SAME checkpoint — those must be
+    dropped by the RESTORED key state (their event times are inside
+    the 1-hour watermark horizon), so the sink holds exactly the
+    distinct events. Every duplicate is a bit-identical row, which is
+    what makes keep-first deterministic and the check a value-hash
+    check rather than rows-only."""
+    from ..streaming.stream import stream_dedup
+
+    in_path = f"{_MATERIALIZE_DIR}/streamdedup_in"
+    out_path = f"{_MATERIALIZE_DIR}/streamdedup_out"
+    ck_path = f"{_MATERIALIZE_DIR}/streamdedup_ck"
+    for d in (in_path, out_path, ck_path):
+        _shutil.rmtree(d, ignore_errors=True)
+    ev = load(spark, sf, "events")
+    ev.write.parquet(in_path)
+    ev.write.mode("append").parquet(in_path)
+    for _drain in range(2):
+        q = stream_dedup(spark, in_path, out_path, ck_path)
+        q.awaitTermination()
+        if _drain == 0:
+            recent = ev.crossJoin(
+                ev.select((F.max("ts") - F.expr("INTERVAL 30 MINUTES")).alias("cut"))
+            ).filter(F.col("ts") >= F.col("cut")).drop("cut")
+            recent.write.mode("append").parquet(in_path)
+    return spark.read.parquet(out_path)
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 # ------------------------------------------------------------- sinks (K1-K3)
 _SINK_N_DOCS = 120
 
@@ -1968,6 +2005,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_extract": (q_stream_extract, SQL_STREAM_EXTRACT),
     "stream_windows": (q_stream_windows, SQL_STREAM_WINDOWS),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "json_sink": (q_json_sink, SQL_JSON_SINK),
     "stats_block": (q_stats_block, SQL_STATS_BLOCK),

@@ -124,6 +124,46 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    stream_checkpoint: str,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup on ingest: keep the first row per key
+    among arrivals within the watermark delay of each other
+    (dropDuplicatesWithinWatermark) — the streaming counterpart of
+    corpus_dedup.exact_dedup_survivors.
+
+    The contract that makes this run forever in bounded state: per-key
+    state is EVICTED once the watermark passes the key's event time
+    plus the delay — dedup-within-horizon, not global dedup (global
+    streaming dedup is unbounded state by definition; a 100 TB/day
+    ingest needs the horizon form, with a periodic batch exact_dedup
+    pass downstream for the long tail). Past the horizon, a same-key
+    row with a fresh event time is re-emitted, and a bit-identical
+    late copy is dropped by the watermark's late-data filter — either
+    way no state survives the horizon. State DOES survive
+    query restarts via the streaming checkpoint, so duplicates
+    spanning two drains of the same checkpoint still dedup
+    (test-pinned in tests/test_operators.py).
+    """
+    events = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_path)
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", output_path)
+        .start()
+    )
+
+
 SESSION_GAP_MS = 1_800_000  # same 30-min rule as the batch sessionize
 
 

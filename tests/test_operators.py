@@ -352,6 +352,57 @@ def test_stream_windows_watermark_drops_late_events(spark, tmp_path):
     ], got
 
 
+def test_stream_dedup_within_watermark_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates arriving
+    within the delay are dropped — including across drains, via
+    checkpoint-restored key state — while a duplicate arriving after
+    its key's state expired is re-emitted (dedup-within-horizon, not
+    global dedup)."""
+    import datetime as dt
+
+    from cadastral_map_ocr_system_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        stream_dedup,
+    )
+
+    in_p, out_p, ck_p = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), 7, "click", 1.0, None)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema=EVENTS_STREAM_SCHEMA).write.mode(
+            mode
+        ).parquet(in_p)
+
+    def drain():
+        stream_dedup(spark, in_p, out_p, ck_p, watermark="1 hour").awaitTermination()
+
+    def ids():
+        return sorted(r["event_id"] for r in spark.read.parquet(out_p).collect())
+
+    # drain 1: event 1 twice in one batch + event 2 -> batch-local dedup
+    write([ev(1, 0), ev(1, 0), ev(2, 55)], "overwrite")
+    drain()
+    assert ids() == [1, 2]
+    # drain 2: duplicate of 2 (ts 0:55; watermark 0:55-1:00 -> epoch,
+    # state alive) dropped by RESTORED state; new event 3 passes
+    write([ev(2, 55), ev(3, 130)], "append")
+    drain()
+    assert ids() == [1, 2, 3]
+    # drain 3: watermark is now 2:10-1:00 = 1:10. A bit-identical late
+    # copy of event 1 (ts 0:00 < watermark) is dropped by the late-data
+    # filter; a SAME-KEY row with a fresh ts (2:15) finds event 1's
+    # state expired (0:00 + delay < watermark) and is re-emitted —
+    # dedup-within-horizon, not global dedup
+    write([ev(1, 0), ev(1, 135)], "append")
+    drain()
+    assert ids() == [1, 1, 2, 3]
+
+
 def test_stream_sessionize_state_machine(spark, tmp_path):
     """applyInPandasWithState sessionization: a later event CONTINUES
     an open session across drains (not a new session), an over-gap

@@ -27,6 +27,7 @@ SCALED_QUERIES = [
     "ngram_jaccard",
     "minhash_lsh",
     "simhash",
+    "dedup_clusters",
     "ann_brute_force",
     "ann_lsh",
     "ann_ivf",

@@ -30,7 +30,7 @@ subtract/anti-join of the full edge set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .corpus_dedup import (
@@ -53,16 +53,23 @@ def _large_star(edges: DataFrame) -> DataFrame:
     neighbors to the minimum of its closed neighborhood.
 
     Emits (m, v) with m = min(N(u) + {u}) for each neighbor v > u.
-    Connectivity-preserving (Kiveris et al., Lemma 1)."""
-    sym = _symmetrize(edges)
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    m = F.least(F.col("u"), F.col("mn"))
+    Connectivity-preserving (Kiveris et al., Lemma 1).
+
+    The per-neighborhood minimum is a WINDOW min rather than a
+    groupBy+join-back: both need every (u, v) row co-located by u, but
+    the window does it in ONE exchange where the join shape takes two
+    (agg exchange + join alignment) — and a hub node is no worse off,
+    since the join would colocate its rows identically. Output is NOT
+    deduplicated here; one distinct per round (in _small_star) bounds
+    the growth, and large-star output is at most one row per directed
+    input edge anyway."""
+    w = Window.partitionBy("u")
+    m = F.least(F.col("u"), F.min("v").over(w))
     return (
-        sym.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
-        .select(m.alias("u"), F.col("v").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+        _symmetrize(edges)
+        .select(m.alias("mu"), "u", "v")
+        .filter((F.col("v") > F.col("u")) & (F.col("mu") != F.col("v")))
+        .select(F.col("mu").alias("u"), F.col("v").alias("v"))
     )
 
 
@@ -72,16 +79,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
     Operates on edges oriented large->small (u > v); emits (m, v) for
     every v in the small neighborhood other than m itself, plus
-    (m, u)."""
+    (m, u). Same one-exchange window-min shape as _large_star; this is
+    the round's single distinct."""
+    w = Window.partitionBy("u")
     directed = _symmetrize(edges).filter(F.col("v") < F.col("u"))
-    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-    to_members = (
-        directed.join(mins, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+    # the window min must be materialized in its own projection — a
+    # window expression is not allowed inside explode(array(...))
+    withm = directed.select("u", "v", F.min("v").over(w).alias("m"))
+    pair = F.array(
+        F.struct(F.col("m").alias("a"), F.col("v").alias("b")),
+        F.struct(F.col("m").alias("a"), F.col("u").alias("b")),
     )
-    to_center = mins.select(F.col("m").alias("u"), F.col("u").alias("v"))
-    return to_members.union(to_center).filter(F.col("u") != F.col("v")).distinct()
+    return (
+        withm.select(F.explode(pair).alias("e"))
+        .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def _signature(edges: DataFrame) -> tuple:

@@ -74,6 +74,41 @@ def test_minhash_lsh_plan_no_self_join(spark):
     assert n_exchanges == 4, plan
 
 
+def test_cc_star_rounds_one_exchange_per_window(spark):
+    """Each connected-components star round must stay the window-min
+    shape: large-star exactly ONE exchange (the window) and no join;
+    small-star exactly TWO (window + the round's single distinct). A
+    groupBy+join-back regression doubles the exchanges of every round
+    of every dedup_clusters run."""
+    from cadastral_map_ocr_system_spark.operators.components import (
+        _large_star,
+        _small_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "u long, v long"
+    )
+
+    def shape(df):
+        plan = _plan(spark, df)
+        op_lines = [
+            line.strip()
+            for line in plan.splitlines()
+            if line.strip().startswith("(") and ") " in line.strip()[:6]
+        ]
+        n_ex = sum(1 for l in op_lines if ") Exchange" in l)
+        has_join = any(
+            j in plan
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+        return n_ex, has_join, plan
+
+    n_ex, has_join, plan = shape(_large_star(edges))
+    assert (n_ex, has_join) == (1, False), plan
+    n_ex, has_join, plan = shape(_small_star(edges))
+    assert (n_ex, has_join) == (2, False), plan
+
+
 def test_ann_ivf_plan_probes_via_broadcast(spark):
     """IVF search must join the corpus against broadcast probe buckets
     and centroids — a shuffle join of the big embedding side would not

@@ -698,6 +698,29 @@ SELECT doc_id, cluster FROM clusters
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup exactness: build the persisted index on the
+    first 60% of documents (by doc_id), fold the remaining 40% in as
+    an ingest batch (broadcast band-index probe + selective candidate
+    fetch + CC over the edge graph — never a re-shingle of the indexed
+    corpus), and return the updated full cluster map. The oracle is a
+    FULL RECOMPUTE over all documents — incremental must equal it
+    exactly (operators/dedup_index.py exactness contract)."""
+    from ..operators.dedup_index import build_dedup_index, incremental_dedup
+
+    docs = load(spark, sf, "documents")
+    cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.6)
+    idx = f"{_MATERIALIZE_DIR}/dedup_index"
+    _shutil.rmtree(idx, ignore_errors=True)
+    old = docs.filter(F.col("doc_id") <= cut)
+    new = docs.filter(F.col("doc_id") > cut)
+    build_dedup_index(old, idx)
+    return incremental_dedup(spark, idx, new, old)
+
+
+SQL_DEDUP_INCREMENTAL = SQL_DEDUP_CLUSTERS
+
+
 def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """One row per duplicate cluster: surviving min-doc_id document and
     cluster size (the keep-first policy, distributed)."""
@@ -1988,6 +2011,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, SQL_SIMHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

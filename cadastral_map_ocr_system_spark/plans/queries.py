@@ -656,7 +656,8 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 # the near-dup edge pipeline (identical to SQL_NGRAM_JACCARD's gate)
 # followed by min-label components via transitive closure — fine at
 # oracle scale, where the pair graph is tiny
-_CC_CTE = r"""
+def _cc_cte(source: str = "documents") -> str:
+    return rf"""
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT doc_a, doc_b, COUNT(*) AS n_common
@@ -683,11 +684,14 @@ doc_rep AS (
          MIN(doc_id) OVER (
            PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
          ) AS rep
-  FROM documents),
+  FROM {source}),
 clusters AS (
   SELECT d.doc_id, COALESCE(c.component, d.rep) AS cluster
   FROM doc_rep d LEFT JOIN comp c ON c.node = d.rep)
 """
+
+
+_CC_CTE = _cc_cte("documents")
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -732,6 +736,60 @@ WITH RECURSIVE {_SH_CTE},
 {_LSH_CAND_CTE},
 {_CC_CTE}
 SELECT cluster AS doc_id, COUNT(*) AS n_docs FROM clusters GROUP BY 1
+"""
+
+
+def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-data prep a real pipeline runs, composed
+    entirely from registry operators: quality gate (n_tokens >= 40 and
+    alpha_ratio >= 0.5) -> duplicate-cluster resolution over the kept
+    docs -> keep one survivor per cluster -> per-language document and
+    token budget. One number per language a data curator would read
+    off before a training run."""
+    docs = load(spark, sf, "documents")
+    q = textstats.quality_scores(docs)
+    kept = docs.join(
+        q.filter((F.col("n_tokens") >= 40) & (F.col("alpha_ratio") >= 0.5))
+        .select("doc_id"),
+        "doc_id",
+    )
+    clusters = components.dedup_clusters(kept)
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    out = kept.join(survivors, "doc_id")
+    toks = textstats.token_counts(out)
+    return (
+        out.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_subwords_est").cast("long").alias("total_subwords_est"),
+        )
+    )
+
+
+SQL_CORPUS_PREP = rf"""
+WITH RECURSIVE kept AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+           round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS alpha_ratio
+    FROM documents)
+  WHERE n_tokens >= 40 AND alpha_ratio >= 0.5),
+{_sh_cte("kept")},
+{_LSH_CAND_CTE},
+{_cc_cte("kept")},
+surv AS (SELECT doc_id FROM clusters WHERE doc_id = cluster)
+SELECT k.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(lower(k.text)), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(CAST(ceil(length(k.text) / 4) AS BIGINT)) AS BIGINT)
+         AS total_subwords_est
+FROM kept k JOIN surv s ON s.doc_id = k.doc_id
+GROUP BY 1
 """
 
 
@@ -2012,6 +2070,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

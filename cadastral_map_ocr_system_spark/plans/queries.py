@@ -1733,6 +1733,36 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 stream-stream interval join (view -> purchase attribution
+    within 30 minutes, same user): one availableNow drain over the
+    full events table; the watermark + event-time-range predicate
+    bound the join state. Verifies against a plain batch interval
+    self-join on DuckDB."""
+    from ..streaming.stream import stream_interval_join
+
+    in_path = f"{_MATERIALIZE_DIR}/streamjoin_in"
+    out_path = f"{_MATERIALIZE_DIR}/streamjoin_out"
+    ck_path = f"{_MATERIALIZE_DIR}/streamjoin_ck"
+    for d in (in_path, out_path, ck_path):
+        _shutil.rmtree(d, ignore_errors=True)
+    load(spark, sf, "events").write.parquet(in_path)
+    q = stream_interval_join(spark, in_path, out_path, ck_path)
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
+SQL_STREAM_JOIN = """
+SELECT a.event_id AS left_id, b.event_id AS right_id,
+       a.user_id AS user_id,
+       epoch_ms(b.ts) // 1000 - epoch_ms(a.ts) // 1000 AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND a.ts <= b.ts AND b.ts <= a.ts + INTERVAL 30 MINUTES
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """§2.9 streaming exact dedup on ingest
     (dropDuplicatesWithinWatermark): the input directory holds TWO full
@@ -2089,6 +2119,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_windows": (q_stream_windows, SQL_STREAM_WINDOWS),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
     "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
     "csv_sink": (q_csv_sink, SQL_CSV_SINK),
     "json_sink": (q_json_sink, SQL_JSON_SINK),
     "stats_block": (q_stats_block, SQL_STATS_BLOCK),

@@ -164,6 +164,73 @@ def stream_dedup(
     )
 
 
+def stream_interval_join(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    stream_checkpoint: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    max_gap_minutes: int = 30,
+    watermark: str = "1 hour",
+):
+    """Stream-stream inner interval join: pair each `right_type` event
+    with the same user's `left_type` events in the preceding
+    `max_gap_minutes` (the view->purchase attribution join).
+
+    Both sides carry a watermark and the join predicate carries an
+    explicit event-time range — the two things that let Spark bound
+    the join state: a buffered left row is evicted once the right
+    watermark passes its ts + gap, so state is O(events within the
+    horizon), not O(stream). Without the time-range condition this
+    would be an unbounded stateful join that OOMs by construction on
+    an endless stream — the range is load-bearing, not a filter.
+    """
+    events = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(input_path)
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id").alias("left_user"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("right_user"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("left_user") == F.col("right_user"))
+        & (F.col("left_ts") <= F.col("right_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("left_id"),
+        F.col("right_id"),
+        F.col("left_user").alias("user_id"),
+        ((F.col("right_ts").cast("long") - F.col("left_ts").cast("long")))
+        .alias("gap_sec"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", output_path)
+        .start()
+    )
+
+
 SESSION_GAP_MS = 1_800_000  # same 30-min rule as the batch sessionize
 
 

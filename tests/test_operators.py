@@ -403,6 +403,63 @@ def test_stream_dedup_within_watermark_horizon(spark, tmp_path):
     assert ids() == [1, 1, 2, 3]
 
 
+def test_stream_interval_join_state_and_eviction(spark, tmp_path):
+    """Stream-stream interval join: a buffered left row joins a right
+    row arriving in a LATER drain (state survives the checkpoint), the
+    time-range predicate excludes over-gap pairs, and once the
+    watermark passes left_ts + gap the buffered row is evicted — a
+    late matching right row produces nothing (bounded state, not a
+    missed bug)."""
+    import datetime as dt
+
+    from cadastral_map_ocr_system_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        stream_interval_join,
+    )
+
+    in_p, out_p, ck_p = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, minutes, etype, user=7):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, 1.0, None)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema=EVENTS_STREAM_SCHEMA).write.mode(
+            mode
+        ).parquet(in_p)
+
+    def drain():
+        stream_interval_join(spark, in_p, out_p, ck_p).awaitTermination()
+
+    def pairs():
+        return sorted(
+            (r["left_id"], r["right_id"], r["gap_sec"])
+            for r in spark.read.parquet(out_p).collect()
+        )
+
+    # drain 1: views at 0:00 and 0:50, purchase at 0:55 -> only the
+    # 0:50 view is within the 30-minute gap
+    write([ev(1, 0, "view"), ev(2, 50, "view"), ev(3, 55, "purchase")],
+          "overwrite")
+    drain()
+    assert pairs() == [(2, 3, 300)]
+    # drain 2: purchase at 1:10 joins the STILL-BUFFERED view 2 from
+    # drain 1; sentinel rows (distinct users) push both watermarks to
+    # 2:00 so view state older than 1:30 is evicted afterwards
+    write([ev(4, 70, "purchase"),
+           ev(98, 180, "view", user=-1), ev(99, 180, "purchase", user=-2)],
+          "append")
+    drain()
+    assert pairs() == [(2, 3, 300), (2, 4, 1200)]
+    # drain 3: a late matching purchase for the evicted 0:00 view
+    # (and below the right watermark) must produce nothing
+    write([ev(5, 10, "purchase")], "append")
+    drain()
+    assert pairs() == [(2, 3, 300), (2, 4, 1200)]
+
+
 def test_stream_sessionize_state_machine(spark, tmp_path):
     """applyInPandasWithState sessionization: a later event CONTINUES
     an open session across drains (not a new session), an over-gap

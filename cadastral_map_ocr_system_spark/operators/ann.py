@@ -246,3 +246,202 @@ def embedding_bucket_caps(
     from .corpus_dedup import _cap_report
 
     return _cap_report(_sign_buckets(emb, n_dims), "members", max_bucket)
+
+
+# ------------------------------------------------------ product quantization
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + codes: split each d-dim vector
+    into m contiguous subspaces, KMeans(n_codes) per subspace
+    (pyspark.ml, distributed), encode every vector as its m nearest
+    sub-centroid ids.
+
+    Returns (codebooks(subspace, code, centroid array<double>),
+    codes(vec_id, codes array<int>[m])). The codes table is the
+    compressed corpus — m bytes/vector at n_codes<=256 instead of 4d —
+    and, like ivf_assignments, is materialized ONCE; any engine can
+    then run the ADC search below deterministically."""
+    from functools import reduce
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = emb.sparkSession
+    d = len(emb.select("embedding").first()[0])
+    sub = d // m
+    cb_rows = []
+    per_sub = []
+    for s in range(m):
+        vecs = emb.select(
+            "vec_id",
+            array_to_vector(
+                F.slice(F.col("embedding").cast("array<double>"), s * sub + 1, sub)
+            ).alias("features"),
+        )
+        model = KMeans(k=n_codes, seed=seed + s, maxIter=max_iter).fit(vecs)
+        cb_rows += [
+            (s, i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        per_sub.append(
+            model.transform(vecs).select(
+                "vec_id", F.col("prediction").cast("int").alias(f"c{s}")
+            )
+        )
+    codebooks = spark.createDataFrame(
+        cb_rows, "subspace int, code int, centroid array<double>"
+    )
+    codes = reduce(lambda a, b: a.join(b, "vec_id"), per_sub).select(
+        "vec_id", F.array(*[f"c{s}" for s in range(m)]).alias("codes")
+    )
+    return codebooks, codes
+
+
+def pq_topk_from_index(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance PQ search over a materialized index:
+    approximate cosine(query, vector) with the vector replaced by its
+    concatenated sub-centroids, computed as per-query LOOKUP TABLES.
+
+    The 100 TB shape: each query precomputes one m x n_codes table of
+    sub-dot-products (tiny, built from the broadcast codebook), the
+    codes scan is the ONLY pass over the corpus, and scoring is a
+    narrow zip_with/element_at fold per row — no join on the corpus
+    side, no shuffle before the final top-k window. Scores fold in
+    fixed subspace order, so the SQL oracle reproduces them
+    bit-for-bit (list_reduce over an ORDER BY subspace list)."""
+    m = len(codebooks.select("subspace").distinct().collect())
+    sub = len(codebooks.select("centroid").first()[0])
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    qd = queries.crossJoin(F.broadcast(codebooks)).select(
+        "query_id",
+        "q",
+        "subspace",
+        "code",
+        _dot(
+            F.slice(F.col("q"), F.col("subspace") * sub + 1, sub), F.col("centroid")
+        ).alias("dot"),
+    )
+    per_sub = qd.groupBy("query_id", "subspace").agg(
+        F.array_sort(F.collect_list(F.struct("code", "dot"))).alias("entries")
+    )
+    tables = (
+        per_sub.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "entries"))).alias("ts"))
+        .select(
+            "query_id",
+            F.transform(
+                "ts", lambda t: F.transform(t["entries"], lambda e: e["dot"])
+            ).alias("tables"),
+        )
+        .join(
+            queries.select("query_id", _dot(F.col("q"), F.col("q")).alias("qnorm2")),
+            "query_id",
+        )
+    )
+    norm_row = (
+        codebooks.groupBy("subspace")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("code", _dot("centroid", "centroid").alias("n2")))
+            ).alias("entries")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "entries"))).alias("ts"))
+        .select(
+            F.transform(
+                "ts", lambda t: F.transform(t["entries"], lambda e: e["n2"])
+            ).alias("norm_tables")
+        )
+    )
+    lut = lambda tbls: F.aggregate(  # noqa: E731
+        F.zip_with("codes", tbls, lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(norm_row))
+        .crossJoin(F.broadcast(tables))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                lut(F.col("tables"))
+                / F.sqrt(F.col("qnorm2") * lut(F.col("norm_tables"))),
+                6,
+            ).alias("pq_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "pq_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Train + search in one call (tests; production materializes the
+    codebooks/codes once via pq_train and reuses them)."""
+    codebooks, codes = pq_train(emb, m=m, n_codes=n_codes, seed=seed)
+    return pq_topk_from_index(emb, codebooks, codes, n_queries=n_queries, k=k)
+
+
+def pq_refined_topk(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """PQ search with an exact re-rank (the production shape): the ADC
+    pass shortlists refine*k candidates per query from the COMPRESSED
+    corpus, then only those rows' full vectors are fetched (an equi-
+    join on vec_id — selective, pushdown-friendly) and re-scored with
+    exact cosine. Recall approaches brute force while the full-vector
+    reads stay O(n_queries * refine * k) instead of O(corpus)."""
+    shortlist = pq_topk_from_index(
+        emb, codebooks, codes, n_queries=n_queries, k=refine * k
+    ).select("query_id", "vec_id")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    fetched = shortlist.join(emb, "vec_id").join(F.broadcast(queries), "query_id")
+    scored = fetched.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )

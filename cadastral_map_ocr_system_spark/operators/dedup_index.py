@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from .components import connected_components
 from .corpus_dedup import (
     DEFAULT_MAX_BUCKET,
+    _cap_report,
     _capped_pairs,
     _jaccard_over_pairs,
     lsh_jaccard_pairs,
@@ -262,3 +263,39 @@ def incremental_dedup(
     new_edges.write.mode("append").parquet(f"{index_path}/edges")
     updated.write.mode("overwrite").parquet(f"{index_path}/clusters")
     return updated
+
+
+def incremental_capped_buckets(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    n_hashes: int = _N_HASHES,
+    bands: int = _BANDS,
+    k: int = _K,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """No-silent-caps ledger for `incremental_dedup`'s new-new
+    candidate buckets (the new-old probe is a join, never a pair
+    expansion, so only the in-batch buckets can hit the star cap).
+    Empty unless the cap engaged — run and log it alongside each
+    batch, exactly like corpus_dedup.lsh_capped_buckets at full-build
+    time. A non-empty ledger is also the signal that the exactness
+    contract's no-cap-crossing precondition needs checking (module
+    docstring)."""
+    fp_index = spark.read.parquet(f"{index_path}/fp_index")
+    batch_reps = _doc_reps(new_docs)
+    probed = batch_reps.join(
+        fp_index.select("fingerprint", F.col("rep").alias("old_rep")),
+        "fingerprint",
+        "left",
+    )
+    survivor_ids = probed.filter(
+        F.col("old_rep").isNull() & (F.col("doc_id") == F.col("rep"))
+    ).select("doc_id")
+    new_survivors = new_docs.join(survivor_ids, "doc_id").select("doc_id", "text")
+    buckets = (
+        _band_rows(new_survivors, n_hashes, bands, k)
+        .groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+    )
+    return _cap_report(buckets, "ids", max_bucket)

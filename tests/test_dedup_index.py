@@ -91,6 +91,34 @@ def test_two_sequential_increments(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_cap_ledger(spark, tmp_path):
+    """No-silent-caps: a degenerate (all-near-dup) ingest batch whose
+    in-batch buckets exceed max_bucket must show up in the ledger; a
+    normal batch leaves it empty."""
+    from cadastral_map_ocr_system_spark.operators.dedup_index import (
+        incremental_capped_buckets,
+    )
+
+    rows = corpus_rows()
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_mk(spark, rows[:8]), idx)
+    normal = _mk(spark, rows[8:])
+    assert incremental_capped_buckets(spark, idx, normal).count() == 0
+    body = " ".join(f"flood{i}" for i in range(50))
+    degenerate = _mk(
+        spark, [(5000 + i, f"{body} t{i}") for i in range(40)]
+    )
+    report = incremental_capped_buckets(
+        spark, idx, degenerate, max_bucket=8
+    ).collect()
+    assert report and all(r["bucket_size"] > 8 for r in report)
+    assert all(
+        r["pairs_suppressed"]
+        == r["bucket_size"] * (r["bucket_size"] - 1) // 2 - (r["bucket_size"] - 1)
+        for r in report
+    )
+
+
 def test_monotone_violation_raises(spark, tmp_path):
     rows = corpus_rows()
     idx = str(tmp_path / "idx")

@@ -109,6 +109,24 @@ def test_cc_star_rounds_one_exchange_per_window(spark):
     assert (n_ex, has_join) == (2, False), plan
 
 
+def test_pq_search_plan_scans_codes_once_no_join(spark):
+    """The PQ ADC search must keep its compressed-domain shape: the
+    codes table is scanned once, the per-query tables arrive via
+    BROADCAST nested-loop (tiny side), and there is NO shuffle join of
+    the corpus — scoring is a narrow fold per row, the only exchange
+    after the scan is the top-k window."""
+    from cadastral_map_ocr_system_spark.operators.ann import (
+        pq_topk_from_index,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codebooks, codes = pq_train(emb, m=4, n_codes=4, max_iter=2)
+    plan = _plan(spark, pq_topk_from_index(emb, codebooks, codes))
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join not in plan, join
+
+
 def test_ann_ivf_plan_probes_via_broadcast(spark):
     """IVF search must join the corpus against broadcast probe buckets
     and centroids — a shuffle join of the big embedding side would not

@@ -58,6 +58,16 @@ def test_empty_and_self_loop_edges(spark):
     assert connected_components(df).count() == 0
 
 
+def test_string_node_ids(spark):
+    """The docstring promises any orderable id type: string doc_ids
+    must work (min = lexicographic)."""
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_max_iters_guard_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(200)],
                                "doc_a long, doc_b long")

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "ann_brute_force",
     "ann_lsh",
+    "pq_search",
+    "pq_refined",
     "embedding_near_dups",
     "padded_zip",
     "pattern_join",

@@ -30,6 +30,8 @@ SCALED_QUERIES = [
     "dedup_clusters",
     "ann_brute_force",
     "ann_lsh",
+    "pq_search",
+    "pq_refined",
     "ann_ivf",
     "embedding_near_dups",
 ]

@@ -96,8 +96,11 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "ann_brute_force",
     "ann_lsh",
-    "pq_search",
-    "pq_refined",
+    # pq_search / pq_refined are deliberately NOT here: the registry
+    # entries train the codebooks per call (needed for verification),
+    # and a suite that re-times 8 KMeans fits per trial measures
+    # pyspark.ml startup, not the engine. The compressed-domain search
+    # itself is benchmarked at the 10x point (tools/bench_scaled.py).
     "embedding_near_dups",
     "padded_zip",
     "pattern_join",

@@ -256,10 +256,11 @@ def pq_train(
     seed: int = 7,
     max_iter: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
-    """Product-quantization codebooks + codes: split each d-dim vector
-    into m contiguous subspaces, KMeans(n_codes) per subspace
-    (pyspark.ml, distributed), encode every vector as its m nearest
-    sub-centroid ids.
+    """Product-quantization codebooks + codes (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split each d-dim vector into m contiguous subspaces,
+    KMeans(n_codes) per subspace (pyspark.ml, distributed), encode
+    every vector as its m nearest sub-centroid ids.
 
     Returns (codebooks(subspace, code, centroid array<double>),
     codes(vec_id, codes array<int>[m])). The codes table is the

@@ -19,6 +19,13 @@ band index with the SMALL side broadcast, and re-runs connected
 components over the verified-edge graph (near-dup edges only — orders
 of magnitude smaller than the corpus).
 
+Maintenance at scale: increments APPEND to fp_index / band_index /
+edges, so after many batches those directories accumulate small part
+files (never duplicate rows — the anti-join and monotone ingest see
+to that). Compact them on the usual cadence a lakehouse table would
+be (read -> repartition -> rewrite, or OPTIMIZE under a real Iceberg
+catalog); correctness never depends on it.
+
 EXACTNESS CONTRACT (test- and oracle-pinned): given monotone ingest
 (every new doc_id greater than all indexed ones) and no LSH bucket
 crossing the star-pair cap between increments, the incremental result

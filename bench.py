@@ -156,6 +156,35 @@ def main() -> None:
         extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
+    # --- PQ search over a MATERIALIZED index (the production shape) ---
+    # pq_search/pq_refined registry entries train codebooks per call
+    # (parity needs self-contained queries); timing those re-measures 8
+    # pyspark.ml KMeans fits per trial. Here the index is trained and
+    # written ONCE (cached across runs), and only the compressed-domain
+    # ADC scan + the shortlist re-rank are timed — the per-batch cost a
+    # 100 TB deployment actually pays.
+    from cadastral_map_ocr_system_spark.operators import ann
+
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    pq_path = f"/tmp/bench_pq_index_sf{sf_tag}"
+    emb = load(spark, sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(pq_path, "codes", "_SUCCESS")):
+        codebooks, codes = ann.pq_train(emb)
+        codebooks.write.mode("overwrite").parquet(f"{pq_path}/codebooks")
+        codes.write.mode("overwrite").parquet(f"{pq_path}/codes")
+    codebooks = spark.read.parquet(f"{pq_path}/codebooks")
+    codes = spark.read.parquet(f"{pq_path}/codes")
+    for name, fn in [
+        ("pq_search_indexed", lambda: ann.pq_topk_from_index(emb, codebooks, codes)),
+        ("pq_refined_indexed", lambda: ann.pq_refined_topk(emb, codebooks, codes)),
+    ]:
+        best = float("inf")
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            materialize(fn())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
     # --- per-family steady-state costs (fixture-version-comparable) ---
     from pyspark.sql import functions as F
 
@@ -168,23 +197,29 @@ def main() -> None:
     # the job constant to the payload cost.
     families: dict[str, dict] = {}
     probes = [("overhead", None, 8, 1)] + FAMILY_SPECS
-    overhead_sec = 0.0
+    fam_dfs = {}
     for fam, prefix, n_docs, m in probes:
         fam_path = f"/tmp/bench_family_{fam}_v{synth.FIXTURE_VERSION}"
         if not os.path.exists(os.path.join(fam_path, "_SUCCESS")):
             spark.createDataFrame(
                 _family_docs(fam, prefix, n_docs, m), schema=DOCS
             ).write.mode("overwrite").parquet(fam_path)
-        fam_df = spark.read.parquet(fam_path)
-        best = float("inf")
-        for _ in range(TRIALS):
+        fam_dfs[fam] = spark.read.parquet(fam_path)
+    # trials run ROUND-ROBIN across families, not back-to-back per
+    # family: a host-interference burst shorter than one full pass
+    # (~30-60 s) then pollutes at most one trial per family instead of
+    # every trial of whichever family it lands on (round-5 finding:
+    # the plain probe measured 3.16 ms/payload in a congested window
+    # vs 0.13 quiet with consecutive trials)
+    best_sec = {fam: float("inf") for fam, *_ in probes}
+    for _ in range(TRIALS):
+        for fam, *_ in probes:
             t0 = time.perf_counter()
-            materialize(extract(fam_df))
-            best = min(best, time.perf_counter() - t0)
-        if fam == "overhead":
-            overhead_sec = best
-            continue
-        families[fam] = {"sec": round(best, 3), "n_payloads": n_docs * m}
+            materialize(extract(fam_dfs[fam]))
+            best_sec[fam] = min(best_sec[fam], time.perf_counter() - t0)
+    overhead_sec = best_sec["overhead"]
+    for fam, _prefix, n_docs, m in FAMILY_SPECS:
+        families[fam] = {"sec": round(best_sec[fam], 3), "n_payloads": n_docs * m}
 
     # probe minima land in different host-interference windows, so the
     # overhead probe's min can exceed a cheap family's min; the true

@@ -707,10 +707,16 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     first 60% of documents (by doc_id), fold the remaining 40% in as
     an ingest batch (broadcast band-index probe + selective candidate
     fetch + CC over the edge graph — never a re-shingle of the indexed
-    corpus), and return the updated full cluster map. The oracle is a
-    FULL RECOMPUTE over all documents — incremental must equal it
-    exactly (operators/dedup_index.py exactness contract)."""
-    from ..operators.dedup_index import build_dedup_index, incremental_dedup
+    corpus), and return the updated full cluster map. The index is
+    COMPACTED between build and probe (the OPTIMIZE-cadence vacuum),
+    so this hash also pins that compaction is result-invisible. The
+    oracle is a FULL RECOMPUTE over all documents — incremental must
+    equal it exactly (operators/dedup_index.py exactness contract)."""
+    from ..operators.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index,
+        incremental_dedup,
+    )
 
     docs = load(spark, sf, "documents")
     cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.6)
@@ -719,6 +725,7 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") <= cut)
     new = docs.filter(F.col("doc_id") > cut)
     build_dedup_index(old, idx)
+    compact_dedup_index(spark, idx)
     return incremental_dedup(spark, idx, new, old)
 
 

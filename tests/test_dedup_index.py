@@ -119,6 +119,92 @@ def test_incremental_cap_ledger(spark, tmp_path):
     )
 
 
+def test_compact_shrinks_files_and_preserves_tables(spark, tmp_path):
+    """After two append increments the index dirs hold many small part
+    files; compaction must shrink each to the computed file count while
+    keeping every table's ROWS exactly equal and the next increment's
+    RESULT exactly equal to the uncompacted full recompute."""
+    import glob as _g
+
+    from cadastral_map_ocr_system_spark.operators.dedup_index import (
+        _APPEND_TABLES,
+        compact_dedup_index,
+    )
+
+    rows = corpus_rows()
+    extra = [(200, f"{BODY_B} tail200"), (210, rows[8][1])]
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_mk(spark, rows[:8]), idx)
+    incremental_dedup(spark, idx, _mk(spark, rows[8:]), _mk(spark, rows[:8]))
+    before = {
+        t: sorted(
+            map(tuple, spark.read.parquet(f"{idx}/{t}").collect())
+        )
+        for t in _APPEND_TABLES
+    }
+    n_before = {
+        t: len(_g.glob(f"{idx}/{t}/*.parquet")) for t in _APPEND_TABLES
+    }
+    report = compact_dedup_index(spark, idx)
+    for t in _APPEND_TABLES:
+        after = sorted(map(tuple, spark.read.parquet(f"{idx}/{t}").collect()))
+        assert after == before[t], t
+        assert report[t]["files_before"] == n_before[t]
+        assert report[t]["files_after"] == 1  # tiny tables -> 1 file
+        assert report[t]["files_after"] < n_before[t]
+        assert report[t]["rows"] == len(before[t])
+    # the next increment over the compacted index is still exact
+    got = _clusters(
+        incremental_dedup(spark, idx, _mk(spark, extra), _mk(spark, rows))
+    )
+    want = _clusters(dedup_clusters(_mk(spark, rows + extra)))
+    assert got == want
+
+
+def test_compact_torn_swap_recovery(spark, tmp_path):
+    """Crash-safety of the directory swap: every intermediate state a
+    crash can leave (stale .compact beside a live dir; live renamed
+    away with a COMPLETE .compact; live renamed away with only a
+    PARTIAL .compact but .old present) must repair to a readable,
+    row-identical table on the next compaction."""
+    import os
+    import shutil
+
+    from cadastral_map_ocr_system_spark.operators.dedup_index import (
+        compact_dedup_index,
+    )
+
+    rows = corpus_rows()
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_mk(spark, rows[:8]), idx)
+    incremental_dedup(spark, idx, _mk(spark, rows[8:]), _mk(spark, rows[:8]))
+    want = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/fp_index").collect())
+    )
+    live = f"{idx}/fp_index"
+
+    # state 1: crash after writing .compact, live intact
+    shutil.copytree(live, live + ".compact")
+    compact_dedup_index(spark, idx)
+    assert not os.path.exists(live + ".compact")
+
+    # state 2: crash between the two renames — live gone, .compact
+    # complete (_SUCCESS present)
+    os.rename(live, live + ".compact")
+    compact_dedup_index(spark, idx)
+    assert sorted(map(tuple, spark.read.parquet(live).collect())) == want
+
+    # state 3: live renamed to .old, .compact only partially written
+    # (no _SUCCESS) — must restore .old, discard the partial
+    os.rename(live, live + ".old")
+    os.makedirs(live + ".compact")
+    with open(f"{live}.compact/part-00000.parquet", "wb") as f:
+        f.write(b"torn")
+    compact_dedup_index(spark, idx)
+    assert sorted(map(tuple, spark.read.parquet(live).collect())) == want
+    assert not os.path.exists(live + ".old")
+
+
 def test_monotone_violation_raises(spark, tmp_path):
     rows = corpus_rows()
     idx = str(tmp_path / "idx")

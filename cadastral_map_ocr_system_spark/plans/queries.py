@@ -800,6 +800,56 @@ GROUP BY 1
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible per-language eval/audit draw: exactly 20 documents
+    per lang, ordered by the md5(lang:doc_id) total order. The Spark
+    plan is the skew-proof two-phase top-n (operators/corpus_sample.py)
+    — the oracle is the naive single-window definition, so the hash
+    also proves the two-phase decomposition is exact."""
+    from ..operators.corpus_sample import stratified_sample
+
+    return stratified_sample(load(spark, sf, "documents"), n_per_stratum=20)
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR))
+         ) AS sample_rank
+  FROM documents)
+SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= 20
+"""
+
+
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget training-shard assignment: 8 hash-partitioned
+    writers, each packing its documents in doc_id order into ~4000-
+    token shards by exclusive running sum (operators/corpus_sample.py;
+    W parallel bounded windows, never a global sort)."""
+    from ..operators.corpus_sample import pack_shards
+
+    return pack_shards(load(spark, sf, "documents"), budget_tokens=4000)
+
+
+SQL_PACK_SHARDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+           AS writer
+  FROM documents)
+SELECT doc_id, n_tokens, writer,
+       CAST(floor(coalesce(SUM(n_tokens) OVER (
+              PARTITION BY writer ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 4000) AS BIGINT) AS shard_seq
+FROM toks
+"""
+
+
 # --------------------------------------------------------------- similarity
 _DOT_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
@@ -2237,6 +2287,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

@@ -177,3 +177,29 @@ def test_pushdown_in_tpch_query(spark):
     for col in ("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"):
         assert col in read_line
     assert "l_partkey" not in read_line and "l_tax" not in read_line
+
+
+def test_stratified_sample_plan_no_global_window(spark):
+    """The two-phase sample must never put a whole stratum on one
+    reducer or the corpus on one partition: every Exchange is hash
+    partitioning (phase-1 on (stratum, salt), phase-2 on stratum) —
+    no SinglePartition exchange, no global Sort, no join."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_stratified_sample
+
+    plan = _plan(spark, q_stratified_sample(spark, "/root/testdata/sf0.001"))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(lang" in plan, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+
+
+def test_pack_shards_plan_partitions_by_writer(spark):
+    """Shard packing must stay W parallel windows: the only exchange
+    is hashpartitioning on writer — no SinglePartition (a global
+    running sum would serialize the corpus through one task)."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_pack_shards
+
+    plan = _plan(spark, q_pack_shards(spark, "/root/testdata/sf0.001"))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(writer" in plan, plan

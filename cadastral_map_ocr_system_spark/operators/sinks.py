@@ -68,3 +68,31 @@ def write_iit_csv(detections: DataFrame, path: str) -> None:
 def write_detailed_json(extracted: DataFrame, path: str) -> None:
     """JSON sink (K3): one nested JSON record per document."""
     extracted.write.mode("overwrite").json(path)
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, budget_tokens: int, n_writers: int = 8
+) -> None:
+    """Training-export sink: the documents laid out exactly as a
+    trainer consumes them — parquet partitioned by (writer,
+    shard_seq), each shard holding ~budget_tokens tokens of text
+    (corpus_sample.pack_shards assignment).
+
+    The shard assignment is deterministic in the DATA (md5 writer
+    hash, doc_id pack order), so re-running the export overwrites to
+    a byte-identical layout; a trainer's data loader streams shards
+    as hive partitions with per-shard token counts known up front.
+    The only wide ops are the pack window (W-way parallel) and the
+    assignment join back to the text (doc_id equi-join); at corpus
+    scale both shuffle once on uniformly-hashed keys.
+    """
+    from .corpus_sample import pack_shards
+
+    assignment = pack_shards(docs, budget_tokens, n_writers)
+    (
+        docs.select("doc_id", "text")
+        .join(assignment, "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("writer", "shard_seq")
+        .parquet(path)
+    )

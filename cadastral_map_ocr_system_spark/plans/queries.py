@@ -850,6 +850,45 @@ FROM toks
 """
 
 
+def q_shard_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-export round trip: write the corpus as (writer,
+    shard_seq)-partitioned parquet shards (operators/sinks.py:
+    write_training_shards), then READ THE SINK BACK — partition
+    values come from the hive directory layout, text integrity from
+    md5 — and hash it against the pack_shards oracle recomputed from
+    the documents table."""
+    from ..operators.sinks import write_training_shards
+
+    docs = load(spark, sf, "documents")
+    path = f"{_MATERIALIZE_DIR}/training_shards"
+    write_training_shards(docs, path, budget_tokens=4000)
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id",
+        "n_tokens",
+        F.col("writer").cast("long").alias("writer"),
+        F.col("shard_seq").cast("long").alias("shard_seq"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+SQL_SHARD_SINK = r"""
+WITH toks AS (
+  SELECT doc_id, md5(text) AS text_md5,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+           AS writer
+  FROM documents)
+SELECT doc_id, n_tokens, writer,
+       CAST(floor(coalesce(SUM(n_tokens) OVER (
+              PARTITION BY writer ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 4000) AS BIGINT) AS shard_seq,
+       text_md5
+FROM toks
+"""
+
+
 # --------------------------------------------------------------- similarity
 _DOT_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
@@ -2289,6 +2328,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
+    "shard_sink": (q_shard_sink, SQL_SHARD_SINK),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

@@ -103,3 +103,43 @@ def test_pack_shards_deterministic_under_relayout(spark):
     a = pack_shards(_docs(spark, rows), 150, n_writers=3).collect()
     b = pack_shards(_docs(spark, rows[::-1]).repartition(11), 150, n_writers=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_write_training_shards_layout_and_roundtrip(spark, tmp_path):
+    import os
+
+    from cadastral_map_ocr_system_spark.operators.sinks import (
+        write_training_shards,
+    )
+
+    rows = [(i, "tok " * (10 + (i * 13) % 50), "en") for i in range(200)]
+    docs = _docs(spark, rows)
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, budget_tokens=300, n_writers=4)
+    # hive layout: writer=*/shard_seq=* directories
+    writers = sorted(d for d in os.listdir(path) if d.startswith("writer="))
+    assert writers and all("=" in w for w in writers)
+    inner = os.listdir(os.path.join(path, writers[0]))
+    assert any(d.startswith("shard_seq=") for d in inner)
+    # read-back equals the assignment joined to the text
+    back = spark.read.parquet(path)
+    got = sorted(
+        (r["doc_id"], r["text"], int(r["writer"]), int(r["shard_seq"]))
+        for r in back.collect()
+    )
+    want_assign = {
+        r["doc_id"]: (r["writer"], r["shard_seq"])
+        for r in pack_shards(docs, 300, n_writers=4).collect()
+    }
+    want = sorted(
+        (i, t, int(want_assign[i][0]), int(want_assign[i][1]))
+        for i, t, _l in rows
+    )
+    assert got == want
+    # overwrite is idempotent at the row level
+    write_training_shards(docs, path, budget_tokens=300, n_writers=4)
+    again = sorted(
+        (r["doc_id"], r["text"], int(r["writer"]), int(r["shard_seq"]))
+        for r in spark.read.parquet(path).collect()
+    )
+    assert again == got

@@ -79,6 +79,39 @@ def lang_id(df: DataFrame, threshold: float = 0.05) -> DataFrame:
     )
 
 
+# PII patterns, written in the Java/RE2 common regex subset (no
+# lookarounds, no backrefs) so Spark and any SQL oracle agree exactly.
+# Order matters: emails first (an email contains digit runs a greedy
+# phone pattern could bite into).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"(\+?[0-9]{1,3}[- .]?)?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub crawl text before it can reach a training shard: replace
+    emails, phone numbers, and IPv4 literals with typed placeholders
+    (<EMAIL>, <PHONE>, <IPV4>) and count what was removed per doc.
+
+    Entirely Catalyst regexp expressions — whole-stage codegen, no
+    Python in the loop, trivially linear at corpus scale. Patterns
+    apply in declaration order on the progressively redacted text, so
+    a digit run inside an email is never double-counted as a phone.
+
+    Returns (doc_id, clean_text, n_email, n_phone, n_ipv4).
+    """
+    cur = F.col(text_col)
+    exprs = []
+    for name, pat in PII_PATTERNS:
+        exprs.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return df.select("doc_id", cur.alias("clean_text"), *exprs)
+
+
 def fingerprints(df: DataFrame) -> DataFrame:
     """Stable content fingerprint: md5 of the whitespace-normalized,
     lowercased text (md5 so any engine reproduces it bit-for-bit)."""

@@ -850,6 +850,136 @@ FROM toks
 """
 
 
+# deterministic malformed lines planted in the ingest dump: one
+# syntactically broken, one valid JSON with an uncastable doc_id, one
+# truncated record — the three corruption modes a crawl dump shows
+_CORRUPT_LINES = (
+    '{"doc_id": 999999, "text": "unterminated',
+    '{"doc_id": "not-a-number", "text": "bad type", "lang": "en", "source": "crawl", "n_chars": 8}',
+    "plain garbage, not json at all",
+)
+
+
+def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-dump ingest round trip (sources/ingest.py): export the
+    documents table as a JSONL dump, plant three deterministic
+    malformed lines, ingest through the explicit-schema PERMISSIVE
+    bronze materialization, and return every line's fate — parsed
+    rows as (doc_id, lang, md5(text), 'ok'), rejects as
+    (null, null, md5(raw_line), 'corrupt'). The oracle rebuilds the
+    ok rows from the documents view and lists the planted rejects
+    literally, so the hash verifies both the parse fidelity and the
+    reject ledger."""
+    import os as _os
+
+    from ..sources.ingest import corrupt_rows, ingest_documents_jsonl, valid_rows
+
+    docs = load(spark, sf, "documents")
+    dump = f"{_MATERIALIZE_DIR}/jsonl_dump"
+    bronze = f"{_MATERIALIZE_DIR}/jsonl_bronze"
+    docs.write.mode("overwrite").json(dump)
+    with open(_os.path.join(dump, "zz-corrupt.jsonl"), "w") as fh:
+        for line in _CORRUPT_LINES:
+            fh.write(line + "\n")
+    ingested = ingest_documents_jsonl(spark, dump, bronze)
+    ok = valid_rows(ingested).select(
+        "doc_id", "lang", F.md5("text").alias("text_md5"), F.lit("ok").alias("status")
+    )
+    bad = corrupt_rows(ingested).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.md5("raw_line").alias("text_md5"),
+        F.lit("corrupt").alias("status"),
+    )
+    return ok.unionByName(bad)
+
+
+SQL_JSONL_INGEST = (
+    "SELECT doc_id, lang, md5(text) AS text_md5, 'ok' AS status FROM documents\n"
+    + "".join(
+        "UNION ALL SELECT NULL, NULL, md5('"
+        + line.replace("'", "''")
+        + "'), 'corrupt'\n"
+        for line in _CORRUPT_LINES
+    )
+)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub before export (operators/textstats.py:redact_pii).
+    The synthetic corpus carries no organic PII, so the query first
+    plants it deterministically — doc_id%4 picks email / phone / IPv4
+    / nothing, values derived from doc_id — IDENTICALLY in Spark and
+    the oracle, then redacts and counts. Hash covers the cleaned text
+    (md5) and the per-type counts."""
+    from ..operators.textstats import redact_pii
+
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(did % 4 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")))
+            .when(did % 4 == 1, F.concat(
+                F.lit(" call +1 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ))
+            .when(did % 4 == 2, F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ))
+            .otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+# single-sourced from the operator so the oracle can never drift
+_PII = dict(textstats.PII_PATTERNS)
+_PII_EMAIL_RE = _PII["email"]
+_PII_PHONE_RE = _PII["phone"]
+_PII_IPV4_RE = _PII["ipv4"]
+
+SQL_PII_REDACT = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN 1 THEN ' call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           ELSE ''
+         END AS t0
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(t0, '{_PII_EMAIL_RE}')) AS n_email,
+              regexp_replace(t0, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+       FROM planted),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '{_PII_PHONE_RE}')) AS n_phone,
+              regexp_replace(t1, '{_PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+              len(regexp_extract_all(t2, '{_PII_IPV4_RE}')) AS n_ipv4,
+              regexp_replace(t2, '{_PII_IPV4_RE}', '<IPV4>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, md5(t3) AS clean_md5, n_email, n_phone, n_ipv4 FROM s3
+"""
+
+
 def q_shard_sink(spark: SparkSession, sf: str) -> DataFrame:
     """Training-export round trip: write the corpus as (writer,
     shard_seq)-partitioned parquet shards (operators/sinks.py:
@@ -2329,6 +2459,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
     "shard_sink": (q_shard_sink, SQL_SHARD_SINK),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "jsonl_ingest": (q_jsonl_ingest, SQL_JSONL_INGEST),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

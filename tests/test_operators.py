@@ -578,3 +578,25 @@ def test_stream_sessionize_state_machine(spark, tmp_path):
         (7, ms(0), ms(10), 2),     # closed by the in-batch gap
         (7, ms(50), ms(70), 2),    # extended across drains, then timed out
     ], got
+
+
+def test_redact_pii_types_and_ordering(spark):
+    rows = [
+        (1, "mail me at jo.ann+x@sub.example.co.uk today"),
+        (2, "call +1 555-867-5309 or (212) 555-0123 now"),
+        (3, "server at 192.168.0.1 and 10.0.255.7"),
+        # the email's digits must not be double-counted as a phone
+        (4, "user12345678901@example.com"),
+        (5, "clean text with no pii at all"),
+        (6, "multi a@b.io c@d.io 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+    assert "jo.ann" not in out[1]["clean_text"]
+    assert out[2]["n_phone"] == 2 and out[2]["clean_text"].count("<PHONE>") == 2
+    assert out[3]["n_ipv4"] == 2 and out[3]["clean_text"].count("<IPV4>") == 2
+    assert out[4]["n_email"] == 1 and out[4]["n_phone"] == 0
+    assert out[5]["clean_text"] == rows[4][1]
+    assert out[5]["n_email"] == out[5]["n_phone"] == out[5]["n_ipv4"] == 0
+    assert out[6]["n_email"] == 2 and out[6]["n_ipv4"] == 1

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pattern_join",
     "template_match",
     "color_route",
+    "pii_redact",
 ]
 
 

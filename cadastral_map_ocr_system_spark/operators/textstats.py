@@ -79,6 +79,63 @@ def lang_id(df: DataFrame, threshold: float = 0.05) -> DataFrame:
     )
 
 
+def repetition_scores(df: DataFrame) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4 rule family):
+    highly repetitive documents are low-value training text even when
+    their token counts and stopword ratios look fine.
+
+      dup_token_ratio  1 - distinct_tokens / n_tokens   (array-native,
+                       no shuffle)
+      top_bigram_frac  occurrences of the document's most frequent
+                       bigram / (n_tokens - 1); 0 when n_tokens < 2
+
+    The bigram mode needs a per-(doc, bigram) count — that is one
+    groupBy keyed by (doc_id, bigram) with map-side partial
+    aggregation, then a per-doc max; both shuffles carry only counts,
+    never text, and key cardinality is bounded by total tokens. An
+    array-only variant (filter-count per distinct bigram) would avoid
+    the shuffle but is O(k^2) string compares per document — wrong
+    trade at crawl-document lengths.
+
+    Returns (doc_id, n_tokens, dup_token_ratio, top_bigram_frac).
+    """
+    t = with_tokens(df).select("doc_id", "tokens")
+    n = F.size("tokens")
+    base = t.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            1 - F.size(F.array_distinct("tokens")) / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_token_ratio"),
+        F.zip_with(
+            F.slice("tokens", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("tokens", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_ratio",
+            F.round(
+                F.coalesce(F.col("top_bg"), F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 # PII patterns, written in the Java/RE2 common regex subset (no
 # lookarounds, no backrefs) so Spark and any SQL oracle agree exactly.
 # Order matters: emails first (an email contains digit runs a greedy

@@ -382,6 +382,33 @@ SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition signals
+    (operators/textstats.py:repetition_scores)."""
+    return textstats.repetition_scores(load(spark, sf, "documents"))
+
+
+SQL_REPETITION = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens FROM documents),
+base AS (
+  SELECT doc_id, len(tokens) AS n_tokens,
+         round(1 - len(list_distinct(tokens)) / greatest(len(tokens), 1), 6)
+           AS dup_token_ratio,
+         list_transform(
+           list_zip(tokens[1:len(tokens)-1], tokens[2:]),
+           s -> s[1] || ' ' || s[2]) AS bigrams
+  FROM t),
+cnt AS (SELECT doc_id, unnest(bigrams) AS bg FROM base),
+top AS (SELECT doc_id, MAX(c) AS top_bg
+        FROM (SELECT doc_id, bg, COUNT(*) AS c FROM cnt GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT b.doc_id, n_tokens, dup_token_ratio,
+       round(coalesce(top_bg, 0) / greatest(n_tokens - 1, 1), 6)
+         AS top_bigram_frac
+FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+"""
+
+
 def q_field_classify(spark: SparkSession, sf: str) -> DataFrame:
     """F1/F2/F4/F5 field classification over document tokens."""
     docs = load(spark, sf, "documents")
@@ -2461,6 +2488,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shard_sink": (q_shard_sink, SQL_SHARD_SINK),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "jsonl_ingest": (q_jsonl_ingest, SQL_JSONL_INGEST),
+    "repetition_scores": (q_repetition_scores, SQL_REPETITION),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

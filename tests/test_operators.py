@@ -600,3 +600,20 @@ def test_redact_pii_types_and_ordering(spark):
     assert out[5]["clean_text"] == rows[4][1]
     assert out[5]["n_email"] == out[5]["n_phone"] == out[5]["n_ipv4"] == 0
     assert out[6]["n_email"] == 2 and out[6]["n_ipv4"] == 1
+
+
+def test_repetition_scores_known_values(spark):
+    rows = [
+        (1, "a a a a"),          # pure repetition
+        (2, "a b a b a"),        # alternating
+        (3, "one two three"),    # all distinct
+        (4, "solo"),             # single token: no bigrams
+        (5, ""),                 # empty text -> [''] token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_scores(df).collect()}
+    assert out[1]["dup_token_ratio"] == 0.75 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_token_ratio"] == 0.6 and out[2]["top_bigram_frac"] == 0.5
+    assert out[3]["dup_token_ratio"] == 0.0 and out[3]["top_bigram_frac"] == 0.5
+    assert out[4]["top_bigram_frac"] == 0.0
+    assert out[5]["n_tokens"] == 1 and out[5]["top_bigram_frac"] == 0.0

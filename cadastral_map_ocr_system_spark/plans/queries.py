@@ -382,6 +382,47 @@ SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
 """
 
 
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-level exact-span dedup
+    (operators/corpus_dedup.py:span_dedup): 10-token chunks occurring
+    2+ times corpus-wide survive only at their first (doc_id, pos)
+    occurrence. Hash covers per-doc cleaned-text md5 and span/drop
+    counts."""
+    out = corpus_dedup.span_dedup(load(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_spans",
+        "n_spans_dropped",
+    )
+
+
+SQL_SPAN_DEDUP = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens FROM documents),
+ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(tokens[i*10+1 : i*10+10], ' ') AS chunk
+  FROM t, UNNEST(range(0, CAST(ceil(len(tokens) / 10.0) AS BIGINT))) AS u(i)),
+k AS (
+  SELECT chunk, COUNT(*) AS n_occ,
+         MIN({'d': doc_id, 'p': pos}) AS first_occ
+  FROM ch GROUP BY 1),
+kept AS (
+  SELECT ch.doc_id, ch.pos, ch.chunk
+  FROM ch JOIN k USING (chunk)
+  WHERE k.n_occ < 2 OR (ch.doc_id = (k.first_occ).d AND ch.pos = (k.first_occ).p)),
+re AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM ch GROUP BY 1)
+SELECT tot.doc_id, md5(coalesce(re.clean_text, '')) AS clean_md5,
+       CAST(tot.n_spans AS BIGINT) AS n_spans,
+       CAST(tot.n_spans - coalesce(re.n_kept, 0) AS BIGINT) AS n_spans_dropped
+FROM tot LEFT JOIN re ON re.doc_id = tot.doc_id
+"""
+
+
 def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style within-document repetition signals
     (operators/textstats.py:repetition_scores)."""
@@ -2489,6 +2530,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "jsonl_ingest": (q_jsonl_ingest, SQL_JSONL_INGEST),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

@@ -617,3 +617,27 @@ def test_repetition_scores_known_values(spark):
     assert out[3]["dup_token_ratio"] == 0.0 and out[3]["top_bigram_frac"] == 0.5
     assert out[4]["top_bigram_frac"] == 0.0
     assert out[5]["n_tokens"] == 1 and out[5]["top_bigram_frac"] == 0.0
+
+
+def test_span_dedup_keep_first_semantics(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))      # one exact 10-token chunk
+    uniq_a = " ".join(f"ua{i}" for i in range(10))
+    uniq_b = " ".join(f"ub{i}" for i in range(10))
+    rows = [
+        (1, f"{boiler} {uniq_a}"),       # first occurrence -> keeps boiler
+        (2, f"{boiler} {uniq_b}"),       # later occurrence -> boiler cut
+        (3, boiler),                     # all spans dropped -> empty text
+        (4, "totally unrelated words here only once seen ever by anyone now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_dedup.span_dedup(df).collect()}
+    assert out[1]["clean_text"] == f"{boiler} {uniq_a}"
+    assert out[1]["n_spans_dropped"] == 0
+    assert out[2]["clean_text"] == uniq_b and out[2]["n_spans_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_spans_dropped"] == 1
+    assert out[4]["n_spans_dropped"] == 0 and out[4]["n_spans"] == 2
+    # relayout must not change which occurrence is kept
+    shuffled = spark.createDataFrame(rows[::-1], "doc_id long, text string").repartition(7)
+    again = {r["doc_id"]: r for r in corpus_dedup.span_dedup(shuffled).collect()}
+    assert {k: (v["clean_text"], v["n_spans_dropped"]) for k, v in out.items()} == \
+        {k: (v["clean_text"], v["n_spans_dropped"]) for k, v in again.items()}

@@ -203,3 +203,17 @@ def test_pack_shards_plan_partitions_by_writer(spark):
     plan = _plan(spark, q_pack_shards(spark, "/root/testdata/sf0.001"))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(writer" in plan, plan
+
+
+def test_span_dedup_plan_no_window_over_chunk_key(spark):
+    """Keeper election must stay the partially-aggregatable
+    groupBy COUNT+MIN(struct) + equi-join shape: no Window operator
+    (a window partitioned by chunk serializes a boilerplate
+    mega-chunk through one reducer), no SinglePartition exchange,
+    and map-side partial aggregation present."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_span_dedup
+
+    plan = _plan(spark, q_span_dedup(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan

@@ -24,6 +24,7 @@ SCALED_QUERIES = [
     "quality_scores",
     "field_classify",
     "exact_dup_groups",
+    "span_dedup",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash",

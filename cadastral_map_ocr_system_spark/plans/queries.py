@@ -382,6 +382,42 @@ SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
 """
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination
+    (operators/corpus_dedup.py:contamination_report): every 50th
+    document (doc_id % 50 = 0) plays the eval set; the rest are the
+    training corpus. The corpus's duplicate structure crosses that
+    split, so real contamination exists and the flag is non-vacuous.
+    8-token shingles, eval side broadcast."""
+    docs = load(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return corpus_dedup.contamination_report(corpus, ev, k=8)
+
+
+SQL_DECONTAMINATE = r"""
+WITH ev_t AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS tokens
+  FROM documents WHERE doc_id % 50 = 0),
+ev AS (
+  SELECT DISTINCT array_to_string(tokens[i+1 : i+8], ' ') AS shingle
+  FROM ev_t, UNNEST(range(0, greatest(len(tokens) - 7, 0))) AS u(i)),
+c_t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tokens
+  FROM documents WHERE doc_id % 50 <> 0),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(tokens[i+1 : i+8], ' ') AS shingle
+  FROM c_t, UNNEST(range(0, greatest(len(tokens) - 7, 0))) AS u(i)),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM csh JOIN ev USING (shingle) GROUP BY 1)
+SELECT c.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_eval_shingle_hits,
+       coalesce(hits.n, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) c
+LEFT JOIN hits ON hits.doc_id = c.doc_id
+"""
+
+
 def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style corpus-level exact-span dedup
     (operators/corpus_dedup.py:span_dedup): 10-token chunks occurring
@@ -2531,6 +2567,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "jsonl_ingest": (q_jsonl_ingest, SQL_JSONL_INGEST),
     "repetition_scores": (q_repetition_scores, SQL_REPETITION),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "ann_brute_force": (q_ann_brute_force, SQL_ANN_BRUTE),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

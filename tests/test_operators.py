@@ -641,3 +641,22 @@ def test_span_dedup_keep_first_semantics(spark):
     again = {r["doc_id"]: r for r in corpus_dedup.span_dedup(shuffled).collect()}
     assert {k: (v["clean_text"], v["n_spans_dropped"]) for k, v in out.items()} == \
         {k: (v["clean_text"], v["n_spans_dropped"]) for k, v in again.items()}
+
+
+def test_contamination_report_flags_shared_ngrams(spark):
+    ev_span = " ".join(f"e{i}" for i in range(8))          # exactly one 8-gram
+    rows_ev = [(1000, f"{ev_span} trailing words here")]
+    rows_corpus = [
+        (1, f"prefix words {ev_span} suffix"),             # contains the eval 8-gram
+        (2, "completely unrelated text with many words beyond eight total"),
+        (3, "short doc"),                                  # < 8 tokens: no shingles
+        (4, ev_span),                                      # the span verbatim
+    ]
+    ev = spark.createDataFrame(rows_ev, "doc_id long, text string")
+    corpus = spark.createDataFrame(rows_corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_dedup.contamination_report(corpus, ev).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every corpus doc reported
+    assert out[1]["contaminated"] and out[1]["n_eval_shingle_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_eval_shingle_hits"] == 0
+    assert not out[3]["contaminated"]
+    assert out[4]["contaminated"] and out[4]["n_eval_shingle_hits"] == 1

@@ -217,3 +217,15 @@ def test_span_dedup_plan_no_window_over_chunk_key(spark):
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """The corpus must never shuffle on shingle text: the eval
+    shingle set joins in as a BroadcastHashJoin and no SortMergeJoin
+    appears anywhere in the plan."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_decontaminate
+
+    plan = _plan(spark, q_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan

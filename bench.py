@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "template_match",
     "color_route",
     "pii_redact",
+    "repetition_scores",
+    "span_dedup",
 ]
 
 

@@ -31,31 +31,78 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
+def _topk_per_query(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Two-phase per-query top-k (VERDICT r5 "What's wrong" #1).
+
+    A bare Window.partitionBy(query_id) + row_number makes every
+    query's partition hold the ENTIRE scored corpus — one task
+    shuffles and sorts 10^9 rows per query at scale. Phase 1 cuts each
+    INPUT partition to its k best rows per query (groupBy(query_id,
+    spark_partition_id()) — the partial aggregation completes map-side
+    because every group lives in exactly one input partition, so the
+    exchange carries <= partitions x queries x k rows); phase 2 is the
+    original row_number window over that bounded set. Both phases use
+    the same total order (score desc, vec_id asc; the struct sorts
+    ascending by (score, -vec_id) and is reversed, and double NaN
+    orders greater-than-everything on both paths), so any global
+    top-k row survives its partition cut and the final ranks are
+    identical to the single-window plan.
+    """
+    st = F.struct(
+        F.col(score_col).alias("s"),
+        (-F.col("vec_id")).alias("nv"),
+        F.col("vec_id").alias("vec_id"),
+    )
+    part = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_p")
+    ).agg(F.slice(F.reverse(F.array_sort(F.collect_list(st))), 1, k).alias("top"))
+    pruned = part.select("query_id", F.explode("top").alias("e")).select(
+        "query_id",
+        F.col("e.vec_id").alias("vec_id"),
+        F.col("e.s").alias(score_col),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("vec_id")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", score_col, F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
     """Exact cosine top-k: the first n_queries vec_ids (by id) probe the
     whole corpus. Query side is broadcast — never a shuffle of the big
-    side."""
+    side. Per-side norms are computed ONCE (corpus row / broadcast
+    query row) instead of per pair, so each pair pays one dot-product
+    fold, not three; cos = dot/sqrt(qn2*en2) multiplies the identical
+    values in the identical order as the inline form."""
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
     )
-    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+    corpus = emb.select(
+        "vec_id", "embedding", _dot(F.col("embedding"), F.col("embedding")).alias("en2")
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("q"), F.col("embedding"))
+            / F.sqrt(F.col("qn2") * F.col("en2")),
+            6,
+        ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_per_query(scored, "cos_sim", k)
 
 
 def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
@@ -70,14 +117,20 @@ def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
 def lsh_bucketed_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, n_dims: int = 8
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's sign bucket."""
+    """Approximate top-k: compare only within the query's sign bucket.
+    Same per-side norm precompute + two-phase top-k as
+    brute_force_topk."""
     with_bucket = emb.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), n_dims).alias("bucket")
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), n_dims).alias("bucket"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("en2"),
     )
     queries = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
         F.col("bucket").alias("qbucket"),
+        F.col("en2").alias("qn2"),
     )
     pairs = with_bucket.join(
         F.broadcast(queries),
@@ -86,16 +139,13 @@ def lsh_bucketed_topk(
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("q"), F.col("embedding"))
+            / F.sqrt(F.col("qn2") * F.col("en2")),
+            6,
+        ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
-    )
+    return _topk_per_query(scored, "cos_sim", k)
 
 
 def ivf_assignments(
@@ -138,11 +188,14 @@ def ivf_topk_from_index(
     the corpus joins on its bucket key — the IVF scale shape (scan
     fraction ~ n_probe / n_clusters)."""
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("qn2"),
     )
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "q",
+        "qn2",
         "bucket",
         cosine(F.col("q").cast("array<double>"), F.col("centroid")).alias("c_sim"),
     )
@@ -150,25 +203,29 @@ def ivf_topk_from_index(
     probes = (
         qc.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= n_probe)
-        .select("query_id", "q", "bucket")
+        .select("query_id", "q", "qn2", "bucket")
     )
-    corpus = emb.join(assignments, "vec_id")
+    # assignments are (vec_id, bucket) — narrow; broadcast them so the
+    # embedding side is never shuffled for the index join
+    corpus = emb.join(F.broadcast(assignments), "vec_id").select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        _dot(F.col("embedding"), F.col("embedding")).alias("en2"),
+    )
     pairs = corpus.join(F.broadcast(probes), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("q"), F.col("embedding"))
+            / F.sqrt(F.col("qn2") * F.col("en2")),
+            6,
+        ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
-        )
-    )
+    return _topk_per_query(scored, "cos_sim", k)
 
 
 def ivf_topk(
@@ -274,6 +331,12 @@ def pq_train(
 
     spark = emb.sparkSession
     d = len(emb.select("embedding").first()[0])
+    if d % m != 0:
+        # no-silent-caps convention (ADVICE r5): truncating the tail
+        # dims would bias pq_sim low (qnorm2 covers the full query)
+        raise ValueError(
+            f"embedding dim {d} is not divisible by m={m} subspaces"
+        )
     sub = d // m
     cb_rows = []
     per_sub = []
@@ -321,8 +384,11 @@ def pq_topk_from_index(
     side, no shuffle before the final top-k window. Scores fold in
     fixed subspace order, so the SQL oracle reproduces them
     bit-for-bit (list_reduce over an ORDER BY subspace list)."""
-    m = len(codebooks.select("subspace").distinct().collect())
-    sub = len(codebooks.select("centroid").first()[0])
+    # one tiny collect instead of a distinct job + a first job: the
+    # codebook is m x n_codes rows by construction
+    cb_meta = codebooks.select("subspace", F.size("centroid").alias("w")).collect()
+    m = len({r["subspace"] for r in cb_meta})
+    sub = cb_meta[0]["w"]
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
@@ -372,28 +438,28 @@ def pq_topk_from_index(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # the reconstruction norm depends only on the row's codes, not on
+    # the query: fold it ONCE per corpus row (before the per-query
+    # expansion) instead of once per (row, query) pair — halves the
+    # lookup-table fold work for n_queries >= 2 with bit-identical
+    # sums (same values, same fold order)
+    with_norm = codes.crossJoin(F.broadcast(norm_row)).select(
+        "vec_id", "codes", lut(F.col("norm_tables")).alias("cnorm2")
+    )
     scored = (
-        codes.crossJoin(F.broadcast(norm_row))
-        .crossJoin(F.broadcast(tables))
+        with_norm.crossJoin(F.broadcast(tables))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
             F.round(
                 lut(F.col("tables"))
-                / F.sqrt(F.col("qnorm2") * lut(F.col("norm_tables"))),
+                / F.sqrt(F.col("qnorm2") * F.col("cnorm2")),
                 6,
             ).alias("pq_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("pq_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "vec_id", "pq_sim", F.col("rank").cast("int").alias("rank")
-        )
-    )
+    return _topk_per_query(scored, "pq_sim", k)
 
 
 def pq_topk(
@@ -424,18 +490,25 @@ def pq_refined_topk(
     join on vec_id — selective, pushdown-friendly) and re-scored with
     exact cosine. Recall approaches brute force while the full-vector
     reads stay O(n_queries * refine * k) instead of O(corpus)."""
+    # the shortlist is O(n_queries * refine * k) rows — BROADCAST it so
+    # the full-vector fetch streams the corpus through a broadcast-hash
+    # join instead of shuffling it by vec_id
     shortlist = pq_topk_from_index(
         emb, codebooks, codes, n_queries=n_queries, k=refine * k
     ).select("query_id", "vec_id")
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    fetched = shortlist.join(emb, "vec_id").join(F.broadcast(queries), "query_id")
+    fetched = F.broadcast(shortlist).join(emb, "vec_id").join(
+        F.broadcast(queries), "query_id"
+    )
     scored = fetched.select(
         "query_id",
         "vec_id",
         F.round(cosine(F.col("q"), F.col("embedding")), 6).alias("cos_sim"),
     )
+    # the input is already the shortlist (bounded), so a single
+    # row_number window is the right shape here — no partial phase
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )

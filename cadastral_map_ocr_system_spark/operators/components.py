@@ -136,15 +136,21 @@ def connected_components(
     here would require a second full pass over a node frame this
     operator does not have.
     """
+    # lazy localCheckpoint + the signature aggregate = ONE job per
+    # round: the signature action is the first computation of the
+    # checkpointed plan, so it materializes the cut lineage as a side
+    # effect (eager=True ran a separate materialization job first —
+    # 2 jobs/round of pure scheduling overhead on a loop whose data is
+    # tiny long before its round count is)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sig = _signature(e)
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(e)
         if new_sig == sig:
             break
@@ -209,10 +215,13 @@ def dedup_clusters(
 
 def dedup_survivors(df: DataFrame, **kwargs) -> DataFrame:
     """One row per duplicate cluster: the surviving (min doc_id)
-    document and the cluster size. Keep-policy mirrors the reference's
-    keep-first rule under its deterministic scan order
-    (OCR/src/detect.py:504-575): min doc_id is the distributed
-    equivalent of 'first seen'."""
+    document and the cluster size. Min-doc_id keep-first is this
+    engine's own deterministic policy; the reference sorts candidates
+    by confidence descending before its greedy keep
+    (OCR/src/detect.py:504-575), i.e. it keeps the highest-confidence
+    member of each fuzzy-duplicate group, not the first seen — corpus
+    documents carry no confidence, so min doc_id is the deterministic
+    stand-in (ADVICE r5)."""
     clusters = dedup_clusters(df, **kwargs)
     return clusters.groupBy(F.col("cluster").alias("doc_id")).agg(
         F.count("*").cast("long").alias("n_docs")

@@ -270,10 +270,17 @@ def incremental_dedup(
     new_edges = new_edges.localCheckpoint(eager=True)
     updated = updated.localCheckpoint(eager=True)
 
-    new_fp.write.mode("append").parquet(f"{index_path}/fp_index")
+    # fp_index is appended LAST (ADVICE r5 medium): the fp probe is
+    # what makes a retried batch see its docs as already indexed, so
+    # if a crash interleaves these non-atomic appends, the retry must
+    # re-process the batch rather than silently skip its band postings
+    # and edges. Re-appended band/edge rows from such a retry are
+    # harmless — every consumer runs distinct() over them — and the
+    # clusters overwrite is idempotent.
     new_bands.write.mode("append").parquet(f"{index_path}/band_index")
     new_edges.write.mode("append").parquet(f"{index_path}/edges")
     updated.write.mode("overwrite").parquet(f"{index_path}/clusters")
+    new_fp.write.mode("append").parquet(f"{index_path}/fp_index")
     return updated
 
 

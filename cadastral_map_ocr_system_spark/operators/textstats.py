@@ -50,9 +50,9 @@ def quality_scores(df: DataFrame) -> DataFrame:
     t = with_tokens(df)
     n_tokens = F.size("tokens")
     n_stop = F.size(F.filter("tokens", lambda x: x.isin(STOPWORDS)))
-    token_chars = F.aggregate(
-        F.transform("tokens", F.length), F.lit(0), lambda acc, x: acc + x
-    )
+    # sum(length(tok)) == length of the separator-less join: one
+    # builtin concat instead of an interpreted per-element fold
+    token_chars = F.length(F.array_join("tokens", ""))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", ""))
     return t.select(
         "doc_id",
@@ -89,13 +89,16 @@ def repetition_scores(df: DataFrame) -> DataFrame:
       top_bigram_frac  occurrences of the document's most frequent
                        bigram / (n_tokens - 1); 0 when n_tokens < 2
 
-    The bigram mode needs a per-(doc, bigram) count — that is one
-    groupBy keyed by (doc_id, bigram) with map-side partial
-    aggregation, then a per-doc max; both shuffles carry only counts,
-    never text, and key cardinality is bounded by total tokens. An
-    array-only variant (filter-count per distinct bigram) would avoid
-    the shuffle but is O(k^2) string compares per document — wrong
-    trade at crawl-document lengths.
+    The bigram mode is computed ENTIRELY within the row: sort the
+    document's bigram array, then the most frequent bigram's count is
+    the longest run of equal adjacent elements — one O(k log k)
+    array_sort plus one linear fold, no explode, no shuffle, no join
+    (an earlier revision shipped every bigram through a
+    groupBy(doc_id, bigram) + per-doc max + join-back: two corpus-wide
+    exchanges of bigram text for a per-document statistic; guide §2.4
+    "remove shuffles outright"). Identical by construction: equal
+    strings are adjacent exactly once in a sorted array, and the
+    longest such run IS the max group count.
 
     Returns (doc_id, n_tokens, dup_token_ratio, top_bigram_frac).
     """
@@ -107,32 +110,40 @@ def repetition_scores(df: DataFrame) -> DataFrame:
         F.round(
             1 - F.size(F.array_distinct("tokens")) / F.greatest(n, F.lit(1)), 6
         ).alias("dup_token_ratio"),
-        F.zip_with(
-            F.slice("tokens", 1, F.greatest(n - 1, F.lit(0))),
-            F.slice("tokens", 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ).alias("bigrams"),
+        F.array_sort(
+            F.zip_with(
+                F.slice("tokens", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("tokens", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigrams_sorted"),
     )
-    top = (
-        base.select("doc_id", F.explode("bigrams").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_bg"))
+    # fold state: (prev element, current run length, best run length);
+    # x == NULL prev is NULL -> otherwise branch -> run restarts at 1
+    run = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + F.lit(1)
+    ).otherwise(F.lit(1))
+    top_bg = F.aggregate(
+        F.col("bigrams_sorted"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return (
-        base.drop("bigrams")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_token_ratio",
-            F.round(
-                F.coalesce(F.col("top_bg"), F.lit(0))
-                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        F.round(
+            top_bg / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
     )
 
 
@@ -162,9 +173,9 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     cur = F.col(text_col)
     exprs = []
     for name, pat in PII_PATTERNS:
-        exprs.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
-        )
+        # regexp_count matches the same non-overlapping occurrences as
+        # regexp_extract_all but never materializes the match array
+        exprs.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
     return df.select("doc_id", cur.alias("clean_text"), *exprs)
 

@@ -94,21 +94,34 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Join family J: fact x dims with broadcast on the small sides."""
+    """Join family J: fact x dims with broadcast on the small sides.
+
+    The fact side is PRE-AGGREGATED to one decimal revenue row per
+    l_orderkey before the orders join (guide §2.3 "aggregate before
+    you shuffle"): lineitem is clustered by orderkey, so the map-side
+    partial aggregation collapses ~4x before the exchange, the join
+    carries order-grain rows instead of line-grain, and the final
+    countDistinct(o_orderkey) degenerates to count(*) (one row per
+    order by construction) — removing the expand/dedup pass. Decimal
+    sums are associative, so sum-of-per-order-sums is bit-equal to the
+    flat sum."""
     li = load(spark, sf, "lineitem")
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")
     nation = load(spark, sf, "nation")
     price = F.col("l_extendedprice").cast("decimal(12,4)")
     disc = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(price * disc).alias("order_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(price * disc), 2).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
         )
     )
 
@@ -335,7 +348,7 @@ FROM g GROUP BY user_id
 
 # ----------------------------------------------------------- text analysis
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
-    return textstats.token_counts(load(spark, sf, "documents"))
+    return textstats.token_counts(load(spark, sf, "documents", spread=True))
 
 
 SQL_TOKEN_COUNTS = r"""
@@ -348,7 +361,7 @@ FROM documents
 
 
 def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
-    return textstats.quality_scores(load(spark, sf, "documents"))
+    return textstats.quality_scores(load(spark, sf, "documents", spread=True))
 
 
 SQL_QUALITY = rf"""
@@ -363,7 +376,7 @@ FROM t
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     pred = textstats.lang_id(docs)
     return (
         docs.join(pred, "doc_id")
@@ -389,7 +402,7 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     training corpus. The corpus's duplicate structure crosses that
     split, so real contamination exists and the flag is non-vacuous.
     8-token shingles, eval side broadcast."""
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return corpus_dedup.contamination_report(corpus, ev, k=8)
@@ -424,7 +437,7 @@ def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     2+ times corpus-wide survive only at their first (doc_id, pos)
     occurrence. Hash covers per-doc cleaned-text md5 and span/drop
     counts."""
-    out = corpus_dedup.span_dedup(load(spark, sf, "documents"))
+    out = corpus_dedup.span_dedup(load(spark, sf, "documents", spread=True))
     return out.select(
         "doc_id",
         F.md5("clean_text").alias("clean_md5"),
@@ -462,7 +475,7 @@ FROM tot LEFT JOIN re ON re.doc_id = tot.doc_id
 def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style within-document repetition signals
     (operators/textstats.py:repetition_scores)."""
-    return textstats.repetition_scores(load(spark, sf, "documents"))
+    return textstats.repetition_scores(load(spark, sf, "documents", spread=True))
 
 
 SQL_REPETITION = r"""
@@ -487,11 +500,23 @@ FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
 
 
 def q_field_classify(spark: SparkSession, sf: str) -> DataFrame:
-    """F1/F2/F4/F5 field classification over document tokens."""
-    docs = load(spark, sf, "documents")
+    """F1/F2/F4/F5 field classification over document tokens.
+
+    The classifier regexes are a function of the TOKEN alone, so they
+    run once per DISTINCT token, not once per occurrence: the first
+    groupBy(tok) collapses duplicate tokens with map-side partial
+    aggregation (shuffling one (tok, count) row per distinct token per
+    partition), and only the collapsed vocabulary pays the three-regex
+    CASE. n = sum of per-token counts and n_distinct = count of
+    distinct tokens per class are exactly the original
+    count/countDistinct — same result, vocabulary-sized regex cost
+    (guide §1.2 step 2: make the per-task work proportional to what
+    the answer needs)."""
+    docs = load(spark, sf, "documents", spread=True)
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )
+    per_tok = toks.groupBy("tok").agg(F.count("*").alias("c"))
     cls = (
         F.when(
             F.col("tok").rlike(NUMBER_RE)
@@ -506,9 +531,9 @@ def q_field_classify(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.lit("reject"))
     )
-    return toks.groupBy(cls.alias("token_class")).agg(
-        F.count("*").cast("long").alias("n"),
-        F.countDistinct("tok").cast("long").alias("n_distinct"),
+    return per_tok.groupBy(cls.alias("token_class")).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
     )
 
 
@@ -593,7 +618,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (the corpus-scale plan; the ungated quadratic variant stays
     available as corpus_dedup.ngram_jaccard_pairs for verification)."""
     return corpus_dedup.lsh_jaccard_pairs(
-        load(spark, sf, "documents"), k=3, threshold=0.05, n_hashes=16, bands=4
+        load(spark, sf, "documents", spread=True), k=3, threshold=0.05, n_hashes=16, bands=4
     )
 
 
@@ -648,7 +673,7 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.05
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_dedup.lsh_candidate_pairs(
-        load(spark, sf, "documents"), n_hashes=16, bands=4, k=3
+        load(spark, sf, "documents", spread=True), n_hashes=16, bands=4, k=3
     )
 
 
@@ -728,7 +753,7 @@ FROM bsize WHERE n > {_CAP_MAX_BUCKET}
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return corpus_dedup.simhash(load(spark, sf, "documents"), bits=32)
+    return corpus_dedup.simhash(load(spark, sf, "documents", spread=True), bits=32)
 
 
 _B = 32
@@ -754,7 +779,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     components -> every doc labeled with its cluster's min doc_id. The
     oracle recomputes the clusters independently via a recursive-CTE
     transitive closure over its own SQL mirror of the edge pipeline."""
-    return components.dedup_clusters(load(spark, sf, "documents"))
+    return components.dedup_clusters(load(spark, sf, "documents", spread=True))
 
 
 # the near-dup edge pipeline (identical to SQL_NGRAM_JACCARD's gate)
@@ -822,7 +847,7 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         incremental_dedup,
     )
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.6)
     idx = f"{_MATERIALIZE_DIR}/dedup_index"
     _shutil.rmtree(idx, ignore_errors=True)
@@ -839,7 +864,7 @@ SQL_DEDUP_INCREMENTAL = SQL_DEDUP_CLUSTERS
 def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """One row per duplicate cluster: surviving min-doc_id document and
     cluster size (the keep-first policy, distributed)."""
-    return components.dedup_survivors(load(spark, sf, "documents"))
+    return components.dedup_survivors(load(spark, sf, "documents", spread=True))
 
 
 SQL_DEDUP_SURVIVORS = f"""
@@ -857,7 +882,7 @@ def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     docs -> keep one survivor per cluster -> per-language document and
     token budget. One number per language a data curator would read
     off before a training run."""
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     q = textstats.quality_scores(docs)
     kept = docs.join(
         q.filter((F.col("n_tokens") >= 40) & (F.col("alpha_ratio") >= 0.5))
@@ -935,7 +960,7 @@ def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     W parallel bounded windows, never a global sort)."""
     from ..operators.corpus_sample import pack_shards
 
-    return pack_shards(load(spark, sf, "documents"), budget_tokens=4000)
+    return pack_shards(load(spark, sf, "documents", spread=True), budget_tokens=4000)
 
 
 SQL_PACK_SHARDS = r"""
@@ -978,7 +1003,7 @@ def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..sources.ingest import corrupt_rows, ingest_documents_jsonl, valid_rows
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     dump = f"{_MATERIALIZE_DIR}/jsonl_dump"
     bronze = f"{_MATERIALIZE_DIR}/jsonl_bronze"
     docs.write.mode("overwrite").json(dump)
@@ -1018,7 +1043,7 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     (md5) and the per-type counts."""
     from ..operators.textstats import redact_pii
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     did = F.col("doc_id")
     planted = docs.withColumn(
         "text",
@@ -1093,7 +1118,7 @@ def q_shard_sink(spark: SparkSession, sf: str) -> DataFrame:
     the documents table."""
     from ..operators.sinks import write_training_shards
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents", spread=True)
     path = f"{_MATERIALIZE_DIR}/training_shards"
     write_training_shards(docs, path, budget_tokens=4000)
     back = spark.read.parquet(path)
@@ -1138,7 +1163,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
-    return ann.brute_force_topk(load(spark, sf, "embeddings"), n_queries=10, k=5)
+    return ann.brute_force_topk(load(spark, sf, "embeddings", spread=True), n_queries=10, k=5)
 
 
 SQL_ANN_BRUTE = f"""
@@ -1160,7 +1185,7 @@ _BUCKET_SQL = " || ".join(
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return ann.lsh_bucketed_topk(
-        load(spark, sf, "embeddings"), n_queries=10, k=5, n_dims=8
+        load(spark, sf, "embeddings", spread=True), n_queries=10, k=5, n_dims=8
     )
 
 
@@ -1186,7 +1211,7 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     math is value-hash verified."""
     from ..operators.ann import ivf_assignments, ivf_topk_from_index
 
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     assigned, centroids = ivf_assignments(emb, n_clusters=8, seed=7)
     a_path = f"{_MATERIALIZE_DIR}/ivf_assignments.parquet"
     c_path = f"{_MATERIALIZE_DIR}/ivf_centroids.parquet"
@@ -1239,7 +1264,7 @@ def q_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     compressed-domain search math is value-hash verified."""
     from ..operators.ann import pq_topk_from_index, pq_train
 
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     codebooks, codes = pq_train(emb, m=8, n_codes=16, seed=7)
     cb_path = f"{_MATERIALIZE_DIR}/pq_codebooks.parquet"
     co_path = f"{_MATERIALIZE_DIR}/pq_codes.parquet"
@@ -1298,7 +1323,7 @@ def q_pq_refined(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.ann import pq_train
 
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     # retrains + rewrites unconditionally (like q_ann_ivf): a cached
     # index could belong to a different sf_dir queried earlier in the
     # same process, and the training is cheap next to a silent mismatch
@@ -1365,7 +1390,7 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     within-cluster cosine to the centroid) in both engines."""
     from ..operators.ann import cosine, ivf_assignments
 
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings", spread=True)
     assigned, centroids = ivf_assignments(emb, n_clusters=8, seed=7)
     a_path = f"{_MATERIALIZE_DIR}/kmeans_assignments.parquet"
     c_path = f"{_MATERIALIZE_DIR}/kmeans_centroids.parquet"
@@ -1407,7 +1432,7 @@ FROM j GROUP BY bucket
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return ann.embedding_near_dups(
-        load(spark, sf, "embeddings"), threshold=0.2, n_dims=8
+        load(spark, sf, "embeddings", spread=True), threshold=0.2, n_dims=8
     )
 
 

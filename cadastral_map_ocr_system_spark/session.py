@@ -52,6 +52,19 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
         )
         .config("spark.sql.files.openCostInBytes", "8m")
+        # InferFiltersFromGenerate copies the generator's child
+        # expression into a pre-Generate filter; predicate pushdown
+        # then substitutes projection aliases into that copy, so an
+        # explode over a derived array (shingles, chunks, bigrams)
+        # re-evaluates its construction — with the materialized token
+        # split inlined PER LAMBDA ELEMENT, i.e. O(tokens^2) per
+        # document (measured 3.7x on lsh_candidate_pairs at sf1.0:
+        # 14.3s -> 3.9s). The inferred filter only prunes empty arrays,
+        # which Generate skips anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")

@@ -268,32 +268,34 @@ def _sessionize_group(key, pdfs, state):
     starts = np.concatenate(([0], breaks))
     ends = np.concatenate((breaks, [len(ms)]))
 
-    closed = []
+    # each run is a dense interval [start, end, n]; the stored open
+    # session is one too. Sorting ALL intervals by start and chain-
+    # merging (next.start - cur.end <= gap, overlap included) is the
+    # batch gap rule over the union — an out-of-order (within-
+    # watermark) event earlier than the stored last_ms now widens the
+    # open session instead of regressing its end/timeout, and the
+    # stored span can bridge batch runs that are far apart from each
+    # other but each within gap of it (ADVICE r5 high).
+    runs = [
+        [int(ms[s]), int(ms[e - 1]), int(e - s)]
+        for s, e in zip(starts, ends)
+    ]
     if state.exists:
         start_ms, last_ms, n = state.get
-        if ms[0] - last_ms <= SESSION_GAP_MS:
-            # first run continues the stored open session
-            last_ms = int(ms[ends[0] - 1])
-            n += int(ends[0] - starts[0])
-            if len(starts) == 1:
-                state.update((start_ms, last_ms, n))
-                state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
-                yield frame([])
-                return
-            closed.append((user_id, start_ms, last_ms, n))
-            starts, ends = starts[1:], ends[1:]
+        runs.append([int(start_ms), int(last_ms), int(n)])
+        runs.sort(key=lambda r: (r[0], r[1]))
+    merged = [runs[0]]
+    for r in runs[1:]:
+        cur = merged[-1]
+        if r[0] - cur[1] <= SESSION_GAP_MS:
+            cur[1] = max(cur[1], r[1])
+            cur[2] += r[2]
         else:
-            closed.append((user_id, start_ms, last_ms, n))
-    # middle runs are closed by the run that follows them
-    for i in range(len(starts) - 1):
-        closed.append(
-            (user_id, int(ms[starts[i]]), int(ms[ends[i] - 1]),
-             int(ends[i] - starts[i]))
-        )
-    # trailing run becomes (or replaces) the open session
-    s, e = starts[-1], ends[-1]
-    state.update((int(ms[s]), int(ms[e - 1]), int(e - s)))
-    state.setTimeoutTimestamp(int(ms[e - 1]) + SESSION_GAP_MS)
+            merged.append(r)
+    closed = [(user_id, a, b, c) for a, b, c in merged[:-1]]
+    a, b, c = merged[-1]
+    state.update((a, b, c))
+    state.setTimeoutTimestamp(b + SESSION_GAP_MS)
     yield frame(closed)
 
 

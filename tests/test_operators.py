@@ -580,6 +580,57 @@ def test_stream_sessionize_state_machine(spark, tmp_path):
     ], got
 
 
+def test_stream_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """Out-of-order (within-watermark) events must WIDEN the stored
+    open session, never regress it (ADVICE r5 high): with state
+    (40, 50), a later batch carrying events at minutes 35 and 45 must
+    yield the merged session (35, 50, 4) — the pre-fix merge set
+    last_ms to the batch run's max (45, regressing the end and firing
+    the timeout 5 minutes early) and never lowered start_ms."""
+    import datetime as dt
+
+    from cadastral_map_ocr_system_spark.streaming.stream import (
+        EVENTS_STREAM_SCHEMA,
+        stream_sessionize,
+    )
+
+    in_p, out_p, ck_p = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(eid, minutes, uid=7):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", 1.0, None)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema=EVENTS_STREAM_SCHEMA).write.mode(
+            mode
+        ).parquet(in_p)
+
+    def drain():
+        stream_sessionize(spark, in_p, out_p, ck_p).awaitTermination()
+
+    # drain 1: open session [40, 50] (no emission); watermark -> min 20
+    write([ev(1, 40), ev(2, 50)], "overwrite")
+    drain()
+    # drain 2: out-of-order events at 35 and 45 (>= watermark) widen
+    # the open session to [35, 50]; sentinel advances the watermark
+    write([ev(3, 35), ev(4, 45), ev(5, 3000, uid=-1)], "append")
+    drain()
+    # drain 3: second sentinel fires the event-time timeout for user 7
+    write([ev(6, 3000, uid=-1)], "append")
+    drain()
+
+    def ms(minutes):
+        return int((t0 + dt.timedelta(minutes=minutes)).timestamp() * 1000)
+
+    got = sorted(
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in spark.read.parquet(out_p).collect()
+    )
+    assert got == [(7, ms(35), ms(50), 4)], got
+
+
 def test_redact_pii_types_and_ordering(spark):
     rows = [
         (1, "mail me at jo.ann+x@sub.example.co.uk today"),

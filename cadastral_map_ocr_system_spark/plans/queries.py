@@ -617,8 +617,11 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact word-3-gram Jaccard, gated to MinHash-LSH candidate pairs
     (the corpus-scale plan; the ungated quadratic variant stays
     available as corpus_dedup.ngram_jaccard_pairs for verification)."""
+    # no spread: the heavy shingle+md5 work runs AFTER the survivor
+    # groupBy exchange (already parallel); spreading only parallelizes
+    # the cheap fingerprint map side and was measured a net cost
     return corpus_dedup.lsh_jaccard_pairs(
-        load(spark, sf, "documents", spread=True), k=3, threshold=0.05, n_hashes=16, bands=4
+        load(spark, sf, "documents"), k=3, threshold=0.05, n_hashes=16, bands=4
     )
 
 
@@ -672,8 +675,9 @@ WHERE n_common / (sa.n + sb.n - n_common) >= 0.05
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # no spread: same rationale as q_ngram_jaccard
     return corpus_dedup.lsh_candidate_pairs(
-        load(spark, sf, "documents", spread=True), n_hashes=16, bands=4, k=3
+        load(spark, sf, "documents"), n_hashes=16, bands=4, k=3
     )
 
 
@@ -779,7 +783,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     components -> every doc labeled with its cluster's min doc_id. The
     oracle recomputes the clusters independently via a recursive-CTE
     transitive closure over its own SQL mirror of the edge pipeline."""
-    return components.dedup_clusters(load(spark, sf, "documents", spread=True))
+    return components.dedup_clusters(load(spark, sf, "documents"))
 
 
 # the near-dup edge pipeline (identical to SQL_NGRAM_JACCARD's gate)
@@ -847,7 +851,7 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         incremental_dedup,
     )
 
-    docs = load(spark, sf, "documents", spread=True)
+    docs = load(spark, sf, "documents")
     cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.6)
     idx = f"{_MATERIALIZE_DIR}/dedup_index"
     _shutil.rmtree(idx, ignore_errors=True)
@@ -864,7 +868,7 @@ SQL_DEDUP_INCREMENTAL = SQL_DEDUP_CLUSTERS
 def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """One row per duplicate cluster: surviving min-doc_id document and
     cluster size (the keep-first policy, distributed)."""
-    return components.dedup_survivors(load(spark, sf, "documents", spread=True))
+    return components.dedup_survivors(load(spark, sf, "documents"))
 
 
 SQL_DEDUP_SURVIVORS = f"""
@@ -1184,8 +1188,10 @@ _BUCKET_SQL = " || ".join(
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # no spread: in-bucket scoring touches ~1/2^8 of the pairs, so the
+    # compute does not amortize an extra exchange (measured +0.33 s)
     return ann.lsh_bucketed_topk(
-        load(spark, sf, "embeddings", spread=True), n_queries=10, k=5, n_dims=8
+        load(spark, sf, "embeddings"), n_queries=10, k=5, n_dims=8
     )
 
 
@@ -1431,8 +1437,10 @@ FROM j GROUP BY bucket
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # no spread: the sign-bucket groupBy redistributes immediately and
+    # the map side is one sign pattern per row (measured +0.44 s)
     return ann.embedding_near_dups(
-        load(spark, sf, "embeddings", spread=True), threshold=0.2, n_dims=8
+        load(spark, sf, "embeddings"), threshold=0.2, n_dims=8
     )
 
 
@@ -2557,24 +2565,42 @@ FROM p
 
 
 # ------------------------------------------------------------------ registry
+# ORDER IS THE VERIFICATION ROTATION (VERDICT r5 next-round #2): the
+# driver's correctness pass covers the first 50 entries
+# (CORRECTNESS_r05 = exactly the round-5 first 50), so entries run in
+# evidence-priority order:
+#   1. the 4 streaming queries that have NEVER had a driver row;
+#   2. the 11 queries last driver-checked in round 4;
+#   3. every query whose plan or implementation changed in round 6
+#      (spread scans, dedup/ANN/text rewrites, the global
+#      InferFiltersFromGenerate exclusion touches all Generate plans).
+# The 15 entries past the cap are precisely the untouched TPC-H-family
+# queries (no Generate in their plans, code identical since <= r4,
+# hash-green in r5). COVERAGE.md documents the rotation.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    # --- tier 1: never driver-checked -------------------------------
+    "stream_windows": (q_stream_windows, SQL_STREAM_WINDOWS),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
+    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
+    # --- tier 2: last checked in round 4 ----------------------------
+    "stream_extract": (q_stream_extract, SQL_STREAM_EXTRACT),
+    "csv_sink": (q_csv_sink, SQL_CSV_SINK),
+    "json_sink": (q_json_sink, SQL_JSON_SINK),
+    "stats_block": (q_stats_block, SQL_STATS_BLOCK),
+    "nms_suppress": (q_nms_suppress, SQL_NMS_SUPPRESS),
+    "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
+    "iou_matches": (q_iou_matches, SQL_IOU_MATCHES),
+    "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),
+    "color_route": (q_color_route, SQL_COLOR_ROUTE),
+    "color_coverage": (q_color_coverage, SQL_COLOR_COVERAGE),
+    "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
+    # --- tier 3: round-6 changed plans/implementations --------------
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS),
-    "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
-    "event_histogram": (q_event_histogram, SQL_HISTOGRAM),
-    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
-    "customers_without_orders": (q_customers_without_orders, SQL_ANTI_JOIN),
-    "parts_in_lineitem": (q_parts_in_lineitem, SQL_SEMI_JOIN),
-    "repeat_customers": (q_repeat_customers, SQL_INTERSECT),
-    "cube_returns": (q_cube_returns, SQL_CUBE),
-    "stats_profile": (q_stats_profile, SQL_STATS),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "field_classify": (q_field_classify, SQL_FIELD_CLASSIFY),
-    "parse_plot_ids": (q_parse_plot_ids, SQL_PLOT_IDS),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
@@ -2585,7 +2611,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "corpus_prep": (q_corpus_prep, SQL_CORPUS_PREP),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
     "shard_sink": (q_shard_sink, SQL_SHARD_SINK),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
@@ -2604,23 +2629,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wire_formats": (q_wire_formats, SQL_WIRE_FORMATS),
     "corpus_source": (q_corpus_source, SQL_CORPUS_SOURCE),
     "greedy_dedup": (q_greedy_dedup, SQL_GREEDY_DEDUP),
-    "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
-    "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "media_line_stats": (q_media_line_stats, SQL_MEDIA_LINE_STATS),
-    "line_angle_histogram": (q_line_angle_histogram, SQL_LINE_ANGLE_HISTOGRAM),
-    "stream_extract": (q_stream_extract, SQL_STREAM_EXTRACT),
-    "stream_windows": (q_stream_windows, SQL_STREAM_WINDOWS),
-    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
-    "stream_dedup": (q_stream_dedup, SQL_STREAM_DEDUP),
-    "stream_join": (q_stream_join, SQL_STREAM_JOIN),
-    "csv_sink": (q_csv_sink, SQL_CSV_SINK),
-    "json_sink": (q_json_sink, SQL_JSON_SINK),
-    "stats_block": (q_stats_block, SQL_STATS_BLOCK),
-    "nms_suppress": (q_nms_suppress, SQL_NMS_SUPPRESS),
-    "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
-    "iou_matches": (q_iou_matches, SQL_IOU_MATCHES),
-    "evaluation_metrics": (q_evaluation_metrics, SQL_EVALUATION_METRICS),
-    "color_route": (q_color_route, SQL_COLOR_ROUTE),
-    "color_coverage": (q_color_coverage, SQL_COLOR_COVERAGE),
+    # --- tier 4: untouched since <= r4, hash-green in r5 ------------
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS),
+    "quantity_percentiles": (q_quantity_percentiles, SQL_PERCENTILES),
+    "event_histogram": (q_event_histogram, SQL_HISTOGRAM),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "customers_without_orders": (q_customers_without_orders, SQL_ANTI_JOIN),
+    "parts_in_lineitem": (q_parts_in_lineitem, SQL_SEMI_JOIN),
+    "repeat_customers": (q_repeat_customers, SQL_INTERSECT),
+    "cube_returns": (q_cube_returns, SQL_CUBE),
+    "stats_profile": (q_stats_profile, SQL_STATS),
+    "parse_plot_ids": (q_parse_plot_ids, SQL_PLOT_IDS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "padded_zip": (q_padded_zip, SQL_PADDED_ZIP),
+    "pattern_join": (q_pattern_join, SQL_PATTERN_JOIN),
 }

@@ -55,10 +55,9 @@ def test_minhash_lsh_plan_no_self_join(spark):
     """The LSH candidate plan must stay the fused no-self-join shape
     (VERDICT r4 next-round #2): a SortMergeJoin of the shingle frame
     against itself would persist-or-recompute the signature pipeline
-    and regress the 100 TB story. Expected: 1 scan, 0 joins, exactly 5
-    exchanges (r6 small-scan spread round-robin, survivor-dedup
-    groupBy, fused signature groupBy, band bucket groupBy, candidate
-    distinct)."""
+    and regress the 100 TB story. Expected: 1 scan, 0 joins, exactly 4
+    exchanges (survivor-dedup groupBy, fused signature groupBy, band
+    bucket groupBy, candidate distinct)."""
     from cadastral_map_ocr_system_spark.plans.queries import q_minhash_lsh
 
     plan = _plan(spark, q_minhash_lsh(spark, "/root/testdata/sf0.001"))
@@ -72,7 +71,7 @@ def test_minhash_lsh_plan_no_self_join(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join not in plan, join
     n_exchanges = sum(1 for l in op_lines if ") Exchange" in l)
-    assert n_exchanges == 5, plan
+    assert n_exchanges == 4, plan
 
 
 def test_cc_star_rounds_one_exchange_per_window(spark):

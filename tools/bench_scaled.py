@@ -35,6 +35,14 @@ SCALED_QUERIES = [
     "pq_refined",
     "ann_ivf",
     "embedding_near_dups",
+    # round-6 additions (VERDICT r5 next-round #5): the round-5 corpus
+    # operators that previously had no 10x point
+    "decontaminate",
+    "repetition_scores",
+    "pii_redact",
+    "stratified_sample",
+    "pack_shards",
+    "jsonl_ingest",
 ]
 
 TRIALS = max(int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")), 1)

@@ -118,6 +118,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 25,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`, where
     component is the minimum node id reachable from it. Works for any
@@ -142,12 +143,15 @@ def connected_components(
     # effect (eager=True ran a separate materialization job first —
     # 2 jobs/round of pure scheduling overhead on a loop whose data is
     # tiny long before its round count is)
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # assume_distinct: callers whose edge frame is distinct loop-free
+    # by construction (e.g. LSH-gated jaccard pairs: one row per
+    # candidate pair, doc_a < doc_b) skip the initial canonicalization
+    # exchange — the loop's invariants only need the INPUT edge set to
+    # be a set, which such callers already guarantee.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not assume_distinct:
+        e = e.filter(F.col("u") != F.col("v")).distinct()
+    e = e.localCheckpoint(eager=False)
     sig = _signature(e)
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
@@ -203,7 +207,7 @@ def dedup_clusters(
         max_bucket=max_bucket,
         pre_exact_dedup=False,
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, assume_distinct=True)
     return (
         doc_rep.join(comp, doc_rep.rep == comp.node, "left")
         .select(

@@ -72,12 +72,9 @@ def _band_rows(docs: DataFrame, n_hashes: int, bands: int, k: int) -> DataFrame:
     kept ungrouped here because the index stores postings, not
     buckets."""
     rpb = n_hashes // bands
-    sh = shingle_rows(docs, k)
-    mins = [
-        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    from .corpus_dedup import minhash_sig_cols
+
+    sig = minhash_sig_cols(docs, n_hashes=n_hashes, k=k)
     band_structs = F.array(
         *[
             F.struct(

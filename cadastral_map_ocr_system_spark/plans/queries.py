@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import NAME_HAS_LETTER_RE, NOISE_RE, NUMBER_RE
 from ..operators import ann, components, corpus_dedup, textstats
-from ..sources.tables import load
+from ..sources.tables import keyed_spread, load, table_path
 
 STOP_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
 
@@ -111,7 +111,19 @@ def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     nation = load(spark, sf, "nation")
     price = F.col("l_extendedprice").cast("decimal(12,4)")
     disc = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
-    per_order = li.groupBy("l_orderkey").agg(
+    # single-row-group lineitem packs the scan (and with it the whole
+    # decimal partial aggregation) into ONE task; a size-gated hash
+    # repartition on the aggregation key parallelizes the expensive
+    # decimal math AND is reused by the groupBy as its own exchange
+    # (guide §2.4) — measured 1.92s -> 0.92s at sf0.1, rows identical.
+    # Decimal sums are exact, so the regrouped partial sums are
+    # bit-equal. Above the size cap this is a no-op (tables.py).
+    src = keyed_spread(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        table_path(sf, "lineitem"),
+        "l_orderkey",
+    )
+    per_order = src.groupBy("l_orderkey").agg(
         F.sum(price * disc).alias("order_rev")
     )
     return (

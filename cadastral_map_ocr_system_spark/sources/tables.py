@@ -61,6 +61,40 @@ def spread_small_scan(df: DataFrame, path: str) -> DataFrame:
     return df.repartition(n)
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    """Filesystem path of a driver table (for size-gated helpers)."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def keyed_spread(df: DataFrame, path: str, *cols: str) -> DataFrame:
+    """Size-gated HASH repartition on `cols` — the mid-plan sibling of
+    `spread_small_scan` for aggregation-bound plans whose scan packs
+    into few tasks (single-row-group parquet).
+
+    Repartitioning by the upcoming groupBy key parallelizes the
+    expensive aggregation work AND satisfies the aggregation's
+    distribution requirement, so no second exchange appears (guide
+    §2.4: two operations keyed the same way share one exchange). A
+    keyed repartition also avoids round-robin's local sort
+    (spark.sql.execution.sortBeforeRepartition), which was measured to
+    erase the win on this shape. Same conf gates as spread_small_scan:
+    above spread_max_bytes the scan parallelizes naturally from its
+    own row groups and this is a no-op, so the rule self-disables at
+    production scale."""
+    spark = df.sparkSession
+    cap = int(spark.conf.get("spark_graft.scan.spread_max_bytes", str(1 << 30)))
+    try:
+        size = _path_bytes(path)
+    except OSError:
+        return df
+    if size > cap:
+        return df
+    n = int(
+        spark.conf.get("spark_graft.scan.spread_partitions", "0")
+    ) or spark.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:

@@ -289,7 +289,7 @@ def embedding_near_dups(
     buckets = _sign_buckets(emb, n_dims)
     pairs = (
         buckets.filter(F.size("members") >= 2)
-        .select(F.explode(_capped_pairs(F.col("members"), max_bucket)).alias("p"))
+        .select(F.explode(_capped_pairs("members", max_bucket)).alias("p"))
         .select(
             F.col("p.a.vec_id").alias("vec_a"),
             F.col("p.b.vec_id").alias("vec_b"),

@@ -71,21 +71,10 @@ def _band_rows(docs: DataFrame, n_hashes: int, bands: int, k: int) -> DataFrame:
     document — the row-per-band form corpus_dedup.lsh_buckets groups,
     kept ungrouped here because the index stores postings, not
     buckets."""
-    rpb = n_hashes // bands
-    from .corpus_dedup import minhash_sig_cols
+    from .corpus_dedup import band_hash_structs, minhash_sig_cols
 
     sig = minhash_sig_cols(docs, n_hashes=n_hashes, k=k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"h{b * rpb + j}") for j in range(rpb)])
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = band_hash_structs(n_hashes, bands)
     return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
@@ -219,7 +208,7 @@ def incremental_dedup(
         new_bands.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(_capped_pairs(F.col("ids"), max_bucket)).alias("p"))
+        .select(F.explode(_capped_pairs("ids", max_bucket)).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )

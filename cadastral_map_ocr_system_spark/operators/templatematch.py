@@ -68,13 +68,21 @@ def match_components(
     threshold: float = MATCH_THRESHOLD,
     min_area: int = MATCH_MIN_AREA,
     size_range: tuple[int, int] = MATCH_SIZE_RANGE,
+    resize_cache: dict | None = None,
 ) -> list[dict]:
     """All (component, template) matches with score >= threshold,
     sorted by (y, x, template). Score is exact agreement fraction, so
-    any engine reproduces it bit-for-bit."""
+    any engine reproduces it bit-for-bit.
+
+    resize_cache: optional (template_name, h, w) -> resized-template
+    memo. nn_resize is a pure function and candidate bboxes span only
+    size_range^2 distinct shapes, so a task-lifetime cache turns the
+    per-candidate resize (measured ~40% of this kernel's serial time)
+    into a dict hit; pass one dict per task from the Arrow closure."""
     from .normalize import invert_if_negative
 
     templates = TEMPLATES if templates is None else templates
+    cache = {} if resize_cache is None else resize_cache
     grid = invert_if_negative(grid)
     lo, hi = size_range
     out = []
@@ -89,7 +97,11 @@ def match_components(
         denom = h * w
         for name in sorted(templates):
             t = templates[name]
-            score = int((nn_resize(t, h, w) == mask).sum()) / denom
+            key = (name, h, w)
+            resized = cache.get(key)
+            if resized is None:
+                resized = cache[key] = nn_resize(t, h, w)
+            score = int((resized == mask).sum()) / denom
             if score >= threshold:
                 out.append(
                     {
@@ -161,6 +173,7 @@ def template_match_features(media_spans_df, templates: dict | None = None):
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tset = bc.value
+        resize_cache: dict = {}  # task-lifetime nn_resize memo
         buf: list[dict] = []
         for batch in batches:
             for doc_id, offset, ref in zip(
@@ -169,7 +182,9 @@ def template_match_features(media_spans_df, templates: dict | None = None):
                 batch.column("media_ref").to_pylist(),
             ):
                 grid, _img = decode_payload_any(_resolve_payload(ref))
-                for i, m in enumerate(match_components(grid, tset)):
+                for i, m in enumerate(
+                    match_components(grid, tset, resize_cache=resize_cache)
+                ):
                     buf.append(
                         {"doc_id": doc_id, "offset": offset, "match_idx": i,
                          "media_ref": ref, **m}

@@ -711,3 +711,22 @@ def test_contamination_report_flags_shared_ngrams(spark):
     assert not out[2]["contaminated"] and out[2]["n_eval_shingle_hits"] == 0
     assert not out[3]["contaminated"]
     assert out[4]["contaminated"] and out[4]["n_eval_shingle_hits"] == 1
+
+
+def test_match_components_resize_cache_identical():
+    """A shared task-lifetime resize cache must not change any match:
+    nn_resize is pure, so cached and uncached runs are bit-identical."""
+    from cadastral_map_ocr_system_spark.operators.templatematch import (
+        match_components,
+    )
+    from cadastral_map_ocr_system_spark.operators import mediapath
+    from cadastral_map_ocr_system_spark.synth import decode_payload_any
+    from cadastral_map_ocr_system_spark import synth
+
+    docs = synth.synth_docs_pylist(40, seed=7, skew_frac=0.02)
+    refs = [s["media_ref"] for d in docs for s in d["spans"] if s["media_ref"]]
+    cache: dict = {}
+    for ref in refs:
+        grid, _ = decode_payload_any(mediapath._resolve_payload(ref))
+        assert match_components(grid, resize_cache=cache) == match_components(grid)
+    assert cache  # the memo actually engaged

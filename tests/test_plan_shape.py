@@ -308,3 +308,53 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_nation_revenue_keyed_spread_shares_exchange(spark):
+    """The size-gated keyed repartition must be the ONLY exchange
+    feeding the per-order aggregation: the groupBy(l_orderkey) reuses
+    the repartition's hashpartitioning (guide: two operations keyed
+    the same way share one exchange), so exactly two Exchange ops
+    appear overall (the spread and the final groupBy(n_name))."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_nation_revenue
+
+    plan = _plan(spark, q_nation_revenue(spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    op_lines = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") " in line.strip()[:6]
+    ]
+    n_exchange = sum(1 for l in op_lines if ") Exchange" in l)
+    assert n_exchange == 2, plan
+
+
+def test_keyed_spread_gates_on_table_size(spark, tmp_path):
+    """keyed_spread must repartition below the size cap and be a
+    strict no-op above it (the production-scale behavior)."""
+    from cadastral_map_ocr_system_spark.sources.tables import keyed_spread
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(100).withColumnRenamed("id", "k").write.parquet(path)
+    df = spark.read.parquet(path)
+    spread = keyed_spread(df, path, "k")
+    assert "RepartitionByExpression" in spread._jdf.queryExecution().logical().toString()
+    spark.conf.set("spark_graft.scan.spread_max_bytes", "1")
+    try:
+        gated = keyed_spread(df, path, "k")
+        assert gated is df  # no-op above the cap
+    finally:
+        spark.conf.unset("spark_graft.scan.spread_max_bytes")
+
+
+def test_span_dedup_plan_reassembles_from_positions_not_text(spark):
+    """The reassembly exchange must carry dropped POSITIONS, not kept
+    chunk text: no collect_list anywhere in the span_dedup plan (the
+    old shape shuffled every kept chunk's text through a
+    groupBy(doc_id) + per-doc sort), and the only collect is the
+    drop-position set."""
+    from cadastral_map_ocr_system_spark.plans.queries import q_span_dedup
+
+    plan = _plan(spark, q_span_dedup(spark, "/root/testdata/sf0.001"))
+    assert "collect_list" not in plan, plan
+    assert "collect_set(pos" in plan, plan

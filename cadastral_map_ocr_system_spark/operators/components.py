@@ -33,11 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .corpus_dedup import (
-    DEFAULT_MAX_BUCKET,
-    exact_dedup_survivor_docs,
-    lsh_jaccard_pairs,
-)
+from .corpus_dedup import DEFAULT_MAX_BUCKET, lsh_jaccard_pairs
 from .textstats import fingerprints
 
 
@@ -195,11 +191,33 @@ def dedup_clusters(
     the cap changes candidate PAIR sets but never the CLUSTERS, which
     is why capping is safe for dedup (module docstring there).
     """
+    # ONE fingerprint aggregation serves both consumers: the survivor
+    # docs (rep, text) for the near-dup detector AND the rep map for
+    # the final join project from the same groupBy(fingerprint)
+    # MIN(struct) — the old shape ran a second corpus-wide
+    # groupBy(fingerprint) just to get (fingerprint, rep), i.e. one
+    # more full exchange of fingerprint rows (guide §2.4). Exchange
+    # reuse shares the aggregation between the two branches; results
+    # identical (exceptAll == 0; oracle parity green).
+    from .corpus_dedup import TOKEN_SPLIT_RE
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE, " ")
+    surv_fp = (
+        df.groupBy(F.md5(norm).alias("fingerprint"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select(
+            "fingerprint",
+            F.col("s.doc_id").alias("rep"),
+            F.col("s.text").alias("text"),
+        )
+    )
+    survivors = surv_fp.select(F.col("rep").alias("doc_id"), "text")
     fpd = fingerprints(df)
-    reps = fpd.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
-    doc_rep = fpd.join(reps, "fingerprint").select("doc_id", "rep")
+    doc_rep = fpd.join(surv_fp.select("fingerprint", "rep"), "fingerprint").select(
+        "doc_id", "rep"
+    )
     edges = lsh_jaccard_pairs(
-        exact_dedup_survivor_docs(df),
+        survivors,
         k=k,
         threshold=threshold,
         n_hashes=n_hashes,
